@@ -1,0 +1,37 @@
+"""dgcnn_tpu — a TPU-native JAX framework for dynamic graph CNNs on sparse
+3D particle-physics point clouds.
+
+A from-scratch rebuild of the capability set of
+`DeepLearnPhysics/dynamic-gcnn` (TF1 multi-GPU DGCNN trainer for LArTPC
+per-point semantic segmentation), re-designed TPU-first:
+
+* dynamic kNN graph construction as a fused Pallas kernel (blockwise
+  pairwise-distance matmul + running top-k; the B×N×N matrix never touches
+  HBM),
+* EdgeConv in factorized form (`h_ij = P_i + Q_j`) so the shared-MLP matmul
+  runs once per point instead of once per edge on the MXU,
+* `shard_map` data parallelism over an ICI mesh with `psum` gradient
+  all-reduce (replacing the reference's in-graph GPU tower averaging),
+* padded/bucketed variable-length event batching with masked loss,
+* trainval/inference CLI, checkpointing, CSV logging and prediction
+  write-back with flag parity to the reference surface.
+
+Capability map to the reference (per SURVEY.md §1-§2; reference mount was
+empty, citations carry SURVEY confidence tags):
+
+==========================  ==========================================
+reference (TF1)             dgcnn_tpu (JAX/XLA/Pallas)
+==========================  ==========================================
+bin/dgcnn.py CLI [M]        dgcnn_tpu.cli / python -m dgcnn_tpu
+dgcnn/flags.py [M]          dgcnn_tpu.config
+dgcnn/main_funcs.py [M]     dgcnn_tpu.train.loop
+dgcnn/trainval.py [M]       dgcnn_tpu.train.trainval
+dgcnn/model.py [M]          dgcnn_tpu.models.dgcnn
+dgcnn/ops.py [M]            dgcnn_tpu.ops + dgcnn_tpu.kernels
+dgcnn/iotools.py [M]        dgcnn_tpu.io
+TF tower multi-GPU [H]      dgcnn_tpu.parallel (shard_map/psum over ICI)
+tf.train.Saver ckpt [H]     dgcnn_tpu.train.checkpoint
+==========================  ==========================================
+"""
+
+__version__ = "0.1.0"
