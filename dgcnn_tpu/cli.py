@@ -1,0 +1,29 @@
+"""CLI entry point (reference `bin/dgcnn.py` [M per SURVEY.md §2 #1]):
+
+  python -m dgcnn_tpu train     -io synthetic -i 100 ...
+  python -m dgcnn_tpu inference -io h5 -if events.h5 -mp weights/snapshot ...
+"""
+
+from __future__ import annotations
+
+import sys
+
+from dgcnn_tpu.config import parse_args
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    # import jax lazily so `--help` never touches the TPU runtime
+    from dgcnn_tpu.train.loop import inference, train
+
+    if cfg.command == "train":
+        train(cfg)
+    elif cfg.command == "inference":
+        inference(cfg)
+    else:  # pragma: no cover — argparse enforces the choices
+        raise SystemExit(f"unknown command {cfg.command!r}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

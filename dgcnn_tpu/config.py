@@ -1,0 +1,183 @@
+"""Configuration and flag surface.
+
+Mirrors the reference's argparse flag system (`dgcnn/flags.py`,
+`DGCNN_FLAGS` [M per SURVEY.md §2 #2]) with `train`/`inference`
+subcommands and the same flag vocabulary (SURVEY.md §5 Config row):
+MODEL_NAME, NUM_CLASS, KVALUE, NUM_EDGE_CONV, ITERATION, REPORT_STEP,
+CHECKPOINT_STEP, MINIBATCH_SIZE, NUM_POINT, SEED, LEARNING_RATE, IO_TYPE,
+INPUT_FILE, OUTPUT_FILE, DATA_KEY/LABEL_KEY/WEIGHT_KEY, SHUFFLE,
+MODEL_PATH, WEIGHT_PREFIX, LOG_DIR, DEBUG.
+
+TPU-native additions: NUM_DEVICES (data-parallel shard count over the ICI
+mesh — replaces the reference's GPUS list), USE_PALLAS (fused kNN kernel),
+PRECISION, BUCKETS (padded/bucketed variable-length batching), PROFILE_DIR.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Optional
+
+from dgcnn_tpu.models.dgcnn import ModelSpec
+
+
+@dataclasses.dataclass
+class Config:
+    # command
+    command: str = "train"
+    # model
+    model_name: str = "dgcnn"
+    num_class: int = 2
+    kvalue: int = 20
+    num_edge_conv: int = 6
+    edge_filters: Optional[tuple] = None  # default: (64,) * num_edge_conv
+    head_feat_dim: int = 1024
+    head_mlp: tuple = (512, 256)
+    global_pool: bool = True
+    dropout: float = 0.0
+    bn_momentum: float = 0.9
+    bn_sync: bool = True  # cross-replica BN stats (False = reference towers)
+    # training
+    iteration: int = 10000
+    report_step: int = 100
+    checkpoint_step: int = 500
+    minibatch_size: int = 4
+    num_point: int = 0  # 0 → derive from data / buckets
+    seed: int = 123
+    learning_rate: float = 1e-3
+    optimizer: str = "adam"  # adam | adamw | sgd | momentum
+    # io
+    io_type: str = "h5"  # h5 | npz | csv | synthetic
+    input_file: str = ""
+    output_file: str = ""
+    data_key: str = "data"
+    label_key: str = "label"
+    weight_key: str = ""
+    shuffle: bool = True
+    buckets: tuple = (1024, 4096, 16384, 32768)
+    prefetch: int = 2
+    # checkpoint / logging
+    model_path: str = ""
+    weight_prefix: str = "weights/snapshot"
+    log_dir: str = "log"
+    debug: bool = False
+    profile_dir: str = ""
+    # TPU-native execution
+    num_devices: int = 0  # 0 → all local devices
+    use_pallas: bool = True
+    precision: str = "default"  # default | highest | bfloat16
+
+    def __post_init__(self):
+        if self.edge_filters is None:
+            self.edge_filters = (64,) * self.num_edge_conv
+        else:
+            self.edge_filters = tuple(self.edge_filters)
+            self.num_edge_conv = len(self.edge_filters)
+        self.head_mlp = tuple(self.head_mlp)
+        self.buckets = tuple(sorted(self.buckets))
+
+    def model_spec(self) -> ModelSpec:
+        return ModelSpec(
+            num_class=self.num_class,
+            k=self.kvalue,
+            edge_filters=tuple(self.edge_filters),
+            residual=(self.model_name == "residual-dgcnn"),
+            head_feat_dim=self.head_feat_dim,
+            head_mlp=tuple(self.head_mlp),
+            global_pool=self.global_pool,
+            dropout=self.dropout,
+            bn_momentum=self.bn_momentum,
+        )
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=list)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+
+def _add_common_flags(p: argparse.ArgumentParser):
+    g = p.add_argument_group("model")
+    g.add_argument("-mn", "--model_name", default="dgcnn",
+                   help="dgcnn | residual-dgcnn (reference MODEL_NAME)")
+    g.add_argument("-nc", "--num_class", type=int, default=2)
+    g.add_argument("-k", "--kvalue", type=int, default=20,
+                   help="neighbor count for the dynamic kNN graph")
+    g.add_argument("-ec", "--num_edge_conv", type=int, default=6)
+    g.add_argument("--edge_filters", type=int, nargs="*", default=None,
+                   help="per-block EdgeConv widths; overrides num_edge_conv")
+    g.add_argument("--head_feat_dim", type=int, default=1024)
+    g.add_argument("--head_mlp", type=int, nargs="*", default=[512, 256])
+    g.add_argument("--no_global_pool", dest="global_pool", action="store_false")
+    g.add_argument("--dropout", type=float, default=0.0)
+    g.add_argument("--bn_momentum", type=float, default=0.9)
+    g.add_argument("--no_bn_sync", dest="bn_sync", action="store_false",
+                   help="per-tower BN statistics (reference semantics) "
+                   "instead of cross-replica sync BN")
+
+    g = p.add_argument_group("io")
+    g.add_argument("-io", "--io_type", default="h5",
+                   choices=["h5", "npz", "csv", "synthetic"])
+    g.add_argument("-if", "--input_file", default="")
+    g.add_argument("-of", "--output_file", default="")
+    g.add_argument("--data_key", default="data")
+    g.add_argument("--label_key", default="label")
+    g.add_argument("--weight_key", default="")
+    g.add_argument("-mb", "--minibatch_size", type=int, default=4)
+    g.add_argument("-np", "--num_point", type=int, default=0,
+                   help="fixed point budget per event; 0 = bucketed")
+    g.add_argument("--buckets", type=int, nargs="*",
+                   default=[1024, 4096, 16384, 32768])
+    g.add_argument("--prefetch", type=int, default=2)
+    g.add_argument("--no_shuffle", dest="shuffle", action="store_false")
+
+    g = p.add_argument_group("run")
+    g.add_argument("--seed", type=int, default=123)
+    g.add_argument("-mp", "--model_path", default="",
+                   help="checkpoint to restore (resume / inference)")
+    g.add_argument("-wp", "--weight_prefix", default="weights/snapshot")
+    g.add_argument("-ld", "--log_dir", default="log")
+    g.add_argument("--debug", action="store_true")
+    g.add_argument("--profile_dir", default="")
+
+    g = p.add_argument_group("tpu")
+    g.add_argument("-nd", "--num_devices", type=int, default=0,
+                   help="data-parallel device count (0 = all local devices)")
+    g.add_argument("--no_pallas", dest="use_pallas", action="store_false")
+    g.add_argument("--precision", default="default",
+                   choices=["default", "highest", "bfloat16"])
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dgcnn_tpu",
+        description="TPU-native dynamic graph CNN trainer for sparse 3D "
+        "point-cloud semantic segmentation",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+    tr = sub.add_parser("train", help="train a model")
+    _add_common_flags(tr)
+    tr.add_argument("-i", "--iteration", type=int, default=10000)
+    tr.add_argument("-rs", "--report_step", type=int, default=100)
+    tr.add_argument("-cs", "--checkpoint_step", type=int, default=500)
+    tr.add_argument("-lr", "--learning_rate", type=float, default=1e-3)
+    tr.add_argument("-opt", "--optimizer", default="adam",
+                    choices=["adam", "adamw", "sgd", "momentum"])
+
+    inf = sub.add_parser("inference", help="run inference + write-back")
+    _add_common_flags(inf)
+    inf.add_argument("-i", "--iteration", type=int, default=0,
+                     help="max batches (0 = whole input file)")
+    return p
+
+
+def parse_args(argv=None) -> Config:
+    ns = build_parser().parse_args(argv)
+    d = vars(ns)
+    if d.get("edge_filters") is None:
+        d["edge_filters"] = None
+    return Config.from_dict(d)

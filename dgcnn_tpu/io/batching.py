@@ -1,0 +1,201 @@
+"""Padded / bucketed variable-length batching with host-side prefetch.
+
+The reference fixes NUM_POINT per batch at IO time (sampling/padding [M per
+SURVEY.md §0.6]) and overlaps file IO with compute via a background
+prefetch thread [H per SURVEY.md §3.4]. The rebuild generalizes this to
+bucketed static shapes (BASELINE config 3): events are grouped by length,
+padded to the smallest bucket that fits the batch (always a multiple of
+128 — TPU lane width), and a validity mask threads through kNN/BN/loss so
+padding never leaks into the numerics. Each bucket size is one XLA
+compilation; bucket edges bound the jit-cache size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from dgcnn_tpu.io.readers import Event, IOBase
+
+LANE = 128  # TPU lane width; all padded point counts are multiples of this
+
+
+@dataclasses.dataclass
+class Batch:
+    """One padded minibatch of events (host numpy; device put happens later)."""
+
+    points: np.ndarray  # (B, N, F) float32
+    labels: np.ndarray  # (B, N) int32 (zeros if unlabeled)
+    weights: Optional[np.ndarray]  # (B, N) float32 or None
+    mask: np.ndarray  # (B, N) bool
+    event_ids: np.ndarray  # (B,) int64
+    lengths: np.ndarray  # (B,) int64 — true (uncropped≤N) point counts
+
+    @property
+    def num_valid(self) -> int:
+        return int(self.mask.sum())
+
+
+def _round_up(n: int, m: int = LANE) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def pad_events(
+    events: Sequence[Event],
+    n_pad: int,
+    rng: Optional[np.random.RandomState] = None,
+    crop: Optional[int] = None,
+) -> Batch:
+    """Stack events into (B, n_pad, ...), cropping (random subsample) events
+    longer than ``crop`` (default ``n_pad``) — the reference's fixed-N
+    selection [M] — and zero-padding shorter ones."""
+    b = len(events)
+    crop = min(crop or n_pad, n_pad)
+    f = events[0].points.shape[1]
+    points = np.zeros((b, n_pad, f), np.float32)
+    labels = np.zeros((b, n_pad), np.int32)
+    weights = (
+        np.zeros((b, n_pad), np.float32)
+        if any(e.weights is not None for e in events)
+        else None
+    )
+    mask = np.zeros((b, n_pad), bool)
+    ids = np.zeros((b,), np.int64)
+    lengths = np.zeros((b,), np.int64)
+    for i, ev in enumerate(events):
+        n = len(ev)
+        if n > crop:
+            sel = (
+                rng.choice(n, crop, replace=False)
+                if rng is not None
+                else np.arange(crop)
+            )
+            sel.sort()
+        else:
+            sel = slice(None)
+        take = ev.points[sel]
+        m = take.shape[0]
+        points[i, :m] = take
+        if ev.labels is not None:
+            labels[i, :m] = ev.labels[sel]
+        if weights is not None and ev.weights is not None:
+            weights[i, :m] = ev.weights[sel]
+        mask[i, :m] = True
+        ids[i] = ev.id
+        lengths[i] = n
+    return Batch(points, labels, weights, mask, ids, lengths)
+
+
+class BucketBatcher:
+    """Groups events of similar length and pads to bucket boundaries.
+
+    With ``num_point > 0`` every batch is padded/cropped to exactly that
+    size (reference semantics). Otherwise events are sorted by length,
+    batched, and padded to the smallest bucket ≥ the longest event in the
+    batch (rounded up to a multiple of 128).
+    """
+
+    def __init__(
+        self,
+        io: IOBase,
+        batch_size: int,
+        buckets: Sequence[int] = (1024, 4096, 16384, 32768),
+        num_point: int = 0,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_remainder: bool = False,
+    ):
+        self.io = io
+        self.batch_size = batch_size
+        self.buckets = sorted(_round_up(int(x)) for x in buckets)
+        self.num_point = num_point
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.drop_remainder = drop_remainder
+        self._lengths = None
+
+    def _bucket_for(self, max_len: int) -> int:
+        if self.num_point > 0:
+            return _round_up(self.num_point)
+        for edge in self.buckets:
+            if max_len <= edge:
+                return edge
+        return _round_up(max_len)
+
+    def _event_lengths(self):
+        if self._lengths is None:
+            self._lengths = np.array(
+                [len(self.io.read_event(i)) for i in range(self.io.num_events())]
+            )
+        return self._lengths
+
+    def epoch(self) -> Iterator[Batch]:
+        """One pass over the input file in batches."""
+        n = self.io.num_events()
+        order = np.arange(n)
+        if self.shuffle:
+            self.rng.shuffle(order)
+            if self.num_point == 0:
+                # group similar lengths to reduce padding waste, keep the
+                # shuffle as a tie-break within equal lengths
+                lengths = self._event_lengths()
+                order = order[np.argsort(lengths[order], kind="stable")]
+        batches = [
+            order[i : i + self.batch_size] for i in range(0, n, self.batch_size)
+        ]
+        if self.drop_remainder and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        if self.shuffle:
+            self.rng.shuffle(batches)
+        for idxs in batches:
+            events = [self.io.read_event(int(i)) for i in idxs]
+            # static shapes: repeat events to fill a short remainder batch
+            # (repeats carry real masks; dedup happens at write-back via
+            # event_ids)
+            while len(events) < self.batch_size:
+                events = events + events[: self.batch_size - len(events)]
+            n_pad = self._bucket_for(max(len(e) for e in events))
+            yield pad_events(
+                events,
+                n_pad,
+                self.rng if self.shuffle else None,
+                crop=self.num_point or None,
+            )
+
+    def forever(self) -> Iterator[Batch]:
+        """Endless epochs (training)."""
+        while True:
+            yield from self.epoch()
+
+
+def prefetch(it: Iterator, size: int = 2) -> Iterator:
+    """Run ``it`` in a background thread, buffering ``size`` items — the
+    rebuild's equivalent of the reference's threaded double-buffer [H per
+    SURVEY.md §3.4]."""
+    if size <= 0:
+        yield from it
+        return
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

@@ -1,0 +1,61 @@
+"""Offline dataset converter / generator.
+
+Replaces the reference's dependency on the larcv C++/ROOT event IO [H per
+SURVEY.md §2.1]: detector dumps (CSV) are converted once into the
+canonical offsets layout (h5/npz) that the training hot path reads, and a
+synthetic generator produces benchmark/smoke datasets.
+
+Usage:
+  python -m dgcnn_tpu.io.convert csv2h5  in.csv out.h5
+  python -m dgcnn_tpu.io.convert csv2npz in.csv out.npz
+  python -m dgcnn_tpu.io.convert synth   out.h5 --events 128 --points 4096
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from dgcnn_tpu.io.readers import CSVIO
+from dgcnn_tpu.io.synthetic import SyntheticIO, write_canonical
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="dgcnn_tpu.io.convert", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("csv2h5", "csv2npz"):
+        c = sub.add_parser(name)
+        c.add_argument("input")
+        c.add_argument("output")
+    s = sub.add_parser("synth")
+    s.add_argument("output")
+    s.add_argument("--events", type=int, default=128)
+    s.add_argument("--points", type=int, default=4096)
+    s.add_argument("--classes", type=int, default=2)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--weights", action="store_true")
+    s.add_argument("--fixed_length", action="store_true")
+    ns = p.parse_args(argv)
+
+    if ns.cmd in ("csv2h5", "csv2npz"):
+        io = CSVIO(ns.input).initialize()
+        events = [io.read_event(i) for i in range(io.num_events())]
+        write_canonical(ns.output, events, "h5" if ns.cmd == "csv2h5" else "npz")
+        print(f"wrote {len(events)} events -> {ns.output}")
+    else:
+        io = SyntheticIO(
+            num_events=ns.events,
+            num_point=ns.points,
+            num_class=ns.classes,
+            seed=ns.seed,
+            variable_length=not ns.fixed_length,
+            with_weights=ns.weights,
+        ).initialize()
+        events = [io.read_event(i) for i in range(io.num_events())]
+        fmt = "npz" if ns.output.endswith(".npz") else "h5"
+        write_canonical(ns.output, events, fmt)
+        total = sum(len(e) for e in events)
+        print(f"wrote {len(events)} events ({total} points) -> {ns.output}")
+
+
+if __name__ == "__main__":
+    main()

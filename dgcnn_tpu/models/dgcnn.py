@@ -1,0 +1,204 @@
+"""DGCNN segmentation models (plain and residual variants).
+
+Reference behavior: `dgcnn/model.py (build)` [M per SURVEY.md §2 #6], per
+SURVEY.md §0.6 [H]: NUM_EDGE_CONV EdgeConv blocks, each re-building the kNN
+graph from the previous block's *learned features* (the dynamic graph),
+followed by a segmentation head over the concatenated block outputs
+(classic DGCNN-seg optionally tiles a global max-pooled feature back over
+the points), producing per-point logits over NUM_CLASS. The repo exposes a
+plain `dgcnn` and a residual flavor [M per SURVEY.md §0.6 #5].
+
+TPU-first notes:
+  * EdgeConv uses the factorized pre-activation (`ops.edge.edge_preact_factorized`)
+    so MXU matmuls are per-point, not per-edge; XLA fuses the broadcast
+    add + gather + ReLU + max-over-k without materializing (B,N,k,D) in HBM.
+  * All shapes are static; variable-length events arrive padded with a
+    validity mask that threads through kNN, BN statistics and pooling.
+  * When a Pallas kNN implementation is supplied via ``knn_fn``, the
+    dynamic-graph build never materializes the (N, N) distance matrix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dgcnn_tpu.models.core import (
+    conv_bn_apply,
+    conv_bn_init,
+    dense_apply,
+    dense_init,
+    dropout,
+)
+from dgcnn_tpu.ops.edge import edge_preact_factorized
+from dgcnn_tpu.ops.knn import knn_indices
+from dgcnn_tpu.ops.norm import batch_norm_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Static architecture hyperparameters (reference flag names in parens)."""
+
+    num_class: int = 2                       # NUM_CLASS
+    k: int = 20                              # KVALUE
+    edge_filters: tuple = (64, 64, 64, 64, 64, 64)  # NUM_EDGE_CONV x width
+    residual: bool = False                   # MODEL_NAME=residual-dgcnn
+    head_feat_dim: int = 1024
+    head_mlp: tuple = (512, 256)
+    global_pool: bool = True
+    dropout: float = 0.0
+    bn_momentum: float = 0.9
+
+    @property
+    def num_edge_conv(self) -> int:
+        return len(self.edge_filters)
+
+
+class Model(NamedTuple):
+    init: Callable  # (rng, in_dim) -> (params, state)
+    apply: Callable  # (params, state, points, mask, train=..., rng=...) -> (logits, new_state)
+    spec: ModelSpec
+
+
+def _masked_max_points(x, mask):
+    """Max over the point axis, ignoring padded points. x: (B, N, C)."""
+    if mask is None:
+        return jnp.max(x, axis=-2)
+    neg = jnp.finfo(x.dtype).min
+    y = jnp.max(jnp.where(mask[..., None], x, neg), axis=-2)
+    # guard fully-empty events (all-padded): produce zeros, not -inf
+    any_valid = jnp.any(mask, axis=-1, keepdims=True)
+    return jnp.where(any_valid, y, 0.0)
+
+
+def make_model(spec: ModelSpec, knn_fn=None, precision=None) -> Model:
+    """Build the init/apply pair for a DGCNN segmentation model.
+
+    Args:
+      spec: architecture hyperparameters.
+      knn_fn: optional override with signature ``(x, k, mask) -> (idx, valid)``
+        — e.g. the fused Pallas kernel. Defaults to the jnp oracle.
+      precision: matmul precision for oracle-vs-kernel comparisons.
+    """
+    _knn = knn_fn or (lambda x, k, mask: knn_indices(x, k, mask, precision=precision))
+
+    def init(rng, in_dim: int):
+        keys = iter(jax.random.split(rng, 64))
+        blocks, block_states = [], []
+        c_in = in_dim
+        for c_out in spec.edge_filters:
+            p, s = conv_bn_init(next(keys), 2 * c_in, c_out)
+            if spec.residual and c_in != c_out:
+                p["proj"] = dense_init(next(keys), c_in, c_out)
+            blocks.append(p)
+            block_states.append(s)
+            c_in = c_out
+
+        concat_dim = sum(spec.edge_filters)
+        feat_p, feat_s = conv_bn_init(next(keys), concat_dim, spec.head_feat_dim)
+        mlp_in = (
+            concat_dim + spec.head_feat_dim if spec.global_pool else spec.head_feat_dim
+        )
+        mlp, mlp_states = [], []
+        for width in spec.head_mlp:
+            p, s = conv_bn_init(next(keys), mlp_in, width)
+            mlp.append(p)
+            mlp_states.append(s)
+            mlp_in = width
+        out_p = dense_init(next(keys), mlp_in, spec.num_class)
+
+        params = {"blocks": blocks, "head": {"feat": feat_p, "mlp": mlp, "out": out_p}}
+        state = {"blocks": block_states, "head": {"feat": feat_s, "mlp": mlp_states}}
+        return params, state
+
+    def apply(
+        params,
+        state,
+        points,
+        mask=None,
+        *,
+        train: bool = False,
+        rng=None,
+        bn_axis=None,
+    ):
+        """Forward pass. points: (B, N, F); mask: (B, N) bool or None.
+
+        ``bn_axis``: mesh axis name for cross-replica sync BN (None = the
+        reference's per-tower statistics).
+
+        Returns (logits (B, N, num_class), new_state).
+        """
+        x = points
+        new_state = {"blocks": [], "head": {}}
+        block_feats = []
+        edge_mask = None if mask is None else mask  # (B, N) → broadcasts over k
+
+        for blk_p, blk_s in zip(params["blocks"], state["blocks"]):
+            idx, _ = _knn(x, spec.k, mask)
+            h = edge_preact_factorized(
+                x, idx, blk_p["w"], blk_p.get("b"), precision=precision
+            )  # (B, N, k, C_out) — no bias: BN follows
+
+            bn_mask = None if edge_mask is None else edge_mask[..., None]
+            h, bn_s = batch_norm_apply(
+                {"scale": blk_p["bn"]["scale"], "bias": blk_p["bn"]["bias"]},
+                blk_s,
+                h,
+                bn_mask,
+                train=train,
+                momentum=spec.bn_momentum,
+                axis_name=bn_axis,
+            )
+            y = jnp.max(jax.nn.relu(h), axis=-2)  # aggregate over k
+            if spec.residual:
+                shortcut = (
+                    dense_apply(blk_p["proj"], x, precision=precision)
+                    if "proj" in blk_p
+                    else x
+                )
+                y = y + shortcut
+            new_state["blocks"].append(bn_s)
+            block_feats.append(y)
+            x = y
+
+        agg = jnp.concatenate(block_feats, axis=-1)  # (B, N, sum C)
+        feat, feat_s = conv_bn_apply(
+            params["head"]["feat"],
+            state["head"]["feat"],
+            agg,
+            mask,
+            train=train,
+            momentum=spec.bn_momentum,
+            precision=precision,
+            axis_name=bn_axis,
+        )
+        new_state["head"]["feat"] = feat_s
+
+        if spec.global_pool:
+            g = _masked_max_points(feat, mask)  # (B, head_feat_dim)
+            g = jnp.broadcast_to(g[..., None, :], agg.shape[:-1] + g.shape[-1:])
+            h = jnp.concatenate([agg, g], axis=-1)
+        else:
+            h = feat
+
+        keys = (
+            iter(jax.random.split(rng, len(params["head"]["mlp"])))
+            if rng is not None
+            else iter([None] * len(params["head"]["mlp"]))
+        )
+        new_state["head"]["mlp"] = []
+        for p, s in zip(params["head"]["mlp"], state["head"]["mlp"]):
+            h, s2 = conv_bn_apply(
+                p, s, h, mask, train=train, momentum=spec.bn_momentum,
+                precision=precision, axis_name=bn_axis,
+            )
+            h = dropout(next(keys), h, spec.dropout, train=train)
+            new_state["head"]["mlp"].append(s2)
+
+        logits = dense_apply(params["head"]["out"], h, precision=precision)
+        return logits, new_state
+
+    return Model(init=init, apply=apply, spec=spec)

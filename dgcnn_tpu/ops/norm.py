@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def batch_norm_init(dim: int, dtype=jnp.float32):
@@ -38,6 +39,7 @@ def batch_norm_apply(
     train: bool,
     momentum: float = 0.9,
     eps: float = 1e-3,
+    axis_name: str | None = None,
 ):
     """Normalize ``x`` over all axes but the last.
 
@@ -50,22 +52,32 @@ def batch_norm_apply(
         produced; downstream losses mask them).
       train: True → use (masked) batch statistics and update the running
         averages; False → use running statistics (reference inference mode).
+      axis_name: if set (inside shard_map), batch statistics are psum-merged
+        over that mesh axis — cross-replica sync BN, which makes training
+        bitwise independent of the data-parallel device count. ``None``
+        reproduces the reference's per-tower BN [M per SURVEY.md §7].
 
     Returns:
       ``(y, new_state)``.
     """
     if train:
+        axes = tuple(range(x.ndim - 1))
         if mask is None:
-            mean = jnp.mean(x, axis=tuple(range(x.ndim - 1)))
-            var = jnp.mean(jnp.square(x - mean), axis=tuple(range(x.ndim - 1)))
+            count = jnp.asarray(float(np.prod(x.shape[:-1])), x.dtype)
+            s1 = jnp.sum(x, axis=axes)
+            s2 = jnp.sum(jnp.square(x), axis=axes)
         else:
             w = jnp.broadcast_to(mask[..., None], x.shape).astype(x.dtype)
-            denom = jnp.maximum(jnp.sum(w, axis=tuple(range(x.ndim - 1))), 1.0)
-            mean = jnp.sum(x * w, axis=tuple(range(x.ndim - 1))) / denom
-            var = (
-                jnp.sum(jnp.square(x - mean) * w, axis=tuple(range(x.ndim - 1)))
-                / denom
-            )
+            count = jnp.sum(w, axis=axes)  # (C,), identical per channel
+            s1 = jnp.sum(x * w, axis=axes)
+            s2 = jnp.sum(jnp.square(x) * w, axis=axes)
+        if axis_name is not None:
+            count = jax.lax.psum(count, axis_name)
+            s1 = jax.lax.psum(s1, axis_name)
+            s2 = jax.lax.psum(s2, axis_name)
+        denom = jnp.maximum(count, 1.0)
+        mean = s1 / denom
+        var = jnp.maximum(s2 / denom - jnp.square(mean), 0.0)
         new_state = {
             "mean": momentum * state["mean"] + (1.0 - momentum) * mean,
             "var": momentum * state["var"] + (1.0 - momentum) * var,

@@ -1,0 +1,71 @@
+"""Checkpoint save/restore.
+
+Reference: periodic `tf.train.Saver.save` to WEIGHT_PREFIX, restore from
+MODEL_PATH for resume/inference [H per SURVEY.md §2 #8]. The rebuild
+serializes the full train state pytree ``{params, model_state, opt_state,
+step, rng}`` plus the config to a single msgpack file
+``{weight_prefix}-{step}.ckpt`` (flax.serialization — no TF dependency),
+with the same flag surface (`--weight_prefix`, `--model_path`,
+`--checkpoint_step`).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save(path_prefix: str, step: int, tree, config_dict=None) -> str:
+    """Write ``{path_prefix}-{step}.ckpt``; returns the path."""
+    d = os.path.dirname(path_prefix)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    payload = {
+        "tree": serialization.to_state_dict(
+            jax.tree_util.tree_map(np.asarray, tree)
+        ),
+        "step": int(step),
+        "config": json.dumps(config_dict or {}, default=list),
+    }
+    path = f"{path_prefix}-{step}.ckpt"
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)  # atomic: a crash never leaves a torn checkpoint
+    return path
+
+
+def latest(path_prefix: str):
+    """Highest-step checkpoint path for a prefix, or None."""
+    best, best_step = None, -1
+    for p in glob.glob(f"{path_prefix}-*.ckpt"):
+        m = re.search(r"-(\d+)\.ckpt$", p)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = p, int(m.group(1))
+    return best
+
+
+def restore(path: str, tree_template):
+    """Load a checkpoint into the structure of ``tree_template``.
+
+    Args:
+      path: a ``.ckpt`` file, or a prefix (the newest step is picked).
+
+    Returns:
+      (tree, step, config_dict)
+    """
+    if not os.path.exists(path):
+        cand = latest(path)
+        if cand is None:
+            raise FileNotFoundError(f"no checkpoint at {path!r}")
+        path = cand
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    tree = serialization.from_state_dict(tree_template, payload["tree"])
+    return tree, int(payload["step"]), json.loads(payload["config"])

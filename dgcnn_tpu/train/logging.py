@@ -1,0 +1,85 @@
+"""CSV + stdout run logging.
+
+Reference: stdout report lines (iter, epoch, loss, accuracies, t/iter) and
+CSV log files per run [M per SURVEY.md §2 #9]. Same schema here; an
+optional `jax.profiler` trace directory covers the TF-timeline role
+(SURVEY.md §5 tracing row).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+class CSVData:
+    """Append-only CSV log (reference `CSVData` helper [L])."""
+
+    def __init__(self, path: str):
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        self.path = path
+        self._file = None
+        self._keys = None
+
+    def write(self, row: dict):
+        if self._file is None:
+            self._file = open(self.path, "w")
+            self._keys = list(row.keys())
+            self._file.write(",".join(self._keys) + "\n")
+        vals = [row.get(k, "") for k in self._keys]
+        self._file.write(
+            ",".join(f"{v:.6g}" if isinstance(v, float) else str(v) for v in vals)
+            + "\n"
+        )
+        self._file.flush()
+
+    def close(self):
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+
+
+class Reporter:
+    """stdout report lines + CSV, with wall-clock per-iteration timing."""
+
+    def __init__(self, log_dir: str, name: str = "train"):
+        self.csv = CSVData(os.path.join(log_dir, f"{name}_log.csv"))
+        self._t_last = time.perf_counter()
+        self._iter_last = 0
+
+    def report(self, iteration: int, epoch: float, metrics: dict):
+        now = time.perf_counter()
+        di = max(iteration - self._iter_last, 1)
+        t_iter = (now - self._t_last) / di
+        self._t_last, self._iter_last = now, iteration
+        row = {"iter": iteration, "epoch": round(epoch, 4)}
+        row.update({k: float(v) for k, v in metrics.items()})
+        row["titer"] = t_iter
+        self.csv.write(row)
+        parts = " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+        print(
+            f"iter {iteration} epoch {epoch:.2f} {parts} t/iter {t_iter*1e3:.1f} ms",
+            flush=True,
+        )
+
+    def close(self):
+        self.csv.close()
+
+
+def maybe_start_profiler(profile_dir: str):
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+        return True
+    return False
+
+
+def maybe_stop_profiler(started: bool):
+    if started:
+        import jax
+
+        jax.profiler.stop_trace()

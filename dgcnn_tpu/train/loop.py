@@ -1,0 +1,121 @@
+"""Driver loops — the reference's `main_funcs.train/inference` equivalent
+[M names / H behavior per SURVEY.md §3.1-3.2]: iteration loop over the IO
+prefetch buffer, report/checkpoint cadence, CSV/stdout logging, and the
+inference write-back path.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from dgcnn_tpu.io import BucketBatcher, SegmentWriter, io_factory, prefetch
+from dgcnn_tpu.ops.loss import mean_iou, per_class_accuracy
+from dgcnn_tpu.train import checkpoint
+from dgcnn_tpu.train.logging import Reporter, maybe_start_profiler, maybe_stop_profiler
+from dgcnn_tpu.train.trainval import Trainval
+
+
+def _build_io(cfg, shuffle: bool):
+    io = io_factory(cfg).initialize()
+    batcher = BucketBatcher(
+        io,
+        batch_size=cfg.minibatch_size,
+        buckets=cfg.buckets,
+        num_point=cfg.num_point,
+        shuffle=shuffle,
+        seed=cfg.seed,
+    )
+    in_dim = io.read_event(0).points.shape[1]
+    return io, batcher, in_dim
+
+
+def train(cfg) -> dict:
+    """Train per the flag surface; returns final metrics (for tests)."""
+    io, batcher, in_dim = _build_io(cfg, shuffle=cfg.shuffle)
+    tv = Trainval(cfg)
+    state = tv.initialize(in_dim)
+    start_step = 0
+    if cfg.model_path:
+        state, start_step, _ = checkpoint.restore(cfg.model_path, state)
+        state = state._replace(step=jax.numpy.asarray(start_step, jax.numpy.int32))
+        print(f"restored checkpoint at step {start_step}", flush=True)
+
+    reporter = Reporter(cfg.log_dir, "train")
+    prof = maybe_start_profiler(cfg.profile_dir)
+    events_per_epoch = max(io.num_events(), 1)
+    metrics = {}
+    it = start_step
+    try:
+        stream = prefetch(batcher.forever(), cfg.prefetch)
+        for batch in stream:
+            if it >= cfg.iteration:
+                break
+            state, metrics = tv.train_step(state, batch)
+            it += 1
+            if it % cfg.report_step == 0 or it == cfg.iteration or cfg.debug:
+                epoch = it * cfg.minibatch_size / events_per_epoch
+                reporter.report(it, epoch, metrics)
+            if cfg.checkpoint_step and it % cfg.checkpoint_step == 0:
+                checkpoint.save(cfg.weight_prefix, it, state, vars(cfg))
+        path = checkpoint.save(cfg.weight_prefix, it, state, vars(cfg))
+        print(f"saved final checkpoint {path}", flush=True)
+    finally:
+        maybe_stop_profiler(prof)
+        reporter.close()
+        io.finalize()
+    return {k: float(v) for k, v in metrics.items()}
+
+
+def inference(cfg) -> dict:
+    """Inference + per-event prediction write-back; returns summary metrics."""
+    io, batcher, in_dim = _build_io(cfg, shuffle=False)
+    tv = Trainval(cfg)
+    state = tv.initialize(in_dim)
+    if not cfg.model_path:
+        raise ValueError("inference requires --model_path")
+    state, step, _ = checkpoint.restore(cfg.model_path, state)
+    print(f"restored checkpoint at step {step}", flush=True)
+
+    writer = SegmentWriter(cfg.output_file) if cfg.output_file else None
+    reporter = Reporter(cfg.log_dir, "inference")
+    cm_total = np.zeros((cfg.num_class, cfg.num_class), np.float64)
+    n_batches = 0
+    t0 = time.perf_counter()
+    try:
+        for batch in prefetch(batcher.epoch(), cfg.prefetch):
+            if cfg.iteration and n_batches >= cfg.iteration:
+                break
+            scores, pred, metrics = tv.inference(state, batch)
+            cm_total += np.asarray(metrics["confusion"], np.float64)
+            n_batches += 1
+            if writer is not None:
+                scores_h, pred_h = np.asarray(scores), np.asarray(pred)
+                for i, eid in enumerate(batch.event_ids):
+                    n_valid = int(batch.mask[i].sum())
+                    writer.store_segment(
+                        int(eid),
+                        batch.points[i, :n_valid],
+                        pred_h[i, :n_valid],
+                        scores_h[i, :n_valid],
+                    )
+            reporter.report(n_batches, 0.0, {"loss": float(metrics["loss"])})
+    finally:
+        reporter.close()
+        io.finalize()
+    if writer is not None:
+        writer.finalize()
+        print(f"wrote {len(writer)} events -> {cfg.output_file}", flush=True)
+
+    acc = float(np.trace(cm_total) / max(cm_total.sum(), 1.0))
+    miou = float(mean_iou(cm_total))
+    pca = np.asarray(per_class_accuracy(cm_total))
+    dt = time.perf_counter() - t0
+    print(
+        f"inference: {n_batches} batches in {dt:.2f}s  acc={acc:.4f} "
+        f"mIoU={miou:.4f} per-class={np.round(pca, 4).tolist()}",
+        flush=True,
+    )
+    return {"acc": acc, "miou": miou, "batches": n_batches}

@@ -1,0 +1,242 @@
+"""Trainer: jitted train/eval/inference steps with shard_map data parallelism.
+
+Counterpart of the reference's `trainval` class (`dgcnn/trainval.py` [M per
+SURVEY.md §2 #4]): builds the model, the optimizer (Adam), the per-device
+step, and checkpoint save/restore hooks. Where the reference replicates
+the graph per GPU and averages tower gradients with implicit device
+copies, the rebuild runs one `shard_map` over the ``data`` mesh axis and
+reduces gradients with a single `psum` over ICI.
+
+Exactness upgrade over the reference: the loss is the *global* weighted
+mean (psum of weighted sums / psum of weights), so gradients — and
+therefore training trajectories — are identical for any device count
+(tower-mean semantics would weight unbalanced shards unevenly). BN batch
+statistics stay per-replica in the forward pass (reference per-tower BN
+[M per SURVEY.md §7]) while the *running* statistics are pmean-synced so
+the saved state is device-count independent.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dgcnn_tpu.io.batching import Batch
+from dgcnn_tpu.models import get_model
+from dgcnn_tpu.parallel.collectives import DATA_AXIS
+from dgcnn_tpu.parallel.mesh import make_mesh
+
+
+class TrainState(NamedTuple):
+    params: Any
+    model_state: Any  # BN running stats
+    opt_state: Any
+    step: jax.Array  # scalar int32
+    rng: jax.Array  # PRNG key
+
+
+def _precision_of(name: str):
+    return {
+        "default": None,
+        "highest": jax.lax.Precision.HIGHEST,
+        "bfloat16": jax.lax.Precision.DEFAULT,
+    }[name]
+
+
+class Trainval:
+    """Build once per run; owns mesh, model, optimizer and compiled steps."""
+
+    def __init__(self, cfg, mesh=None, knn_fn=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.num_devices)
+        self.num_devices = int(np.prod(self.mesh.devices.shape))
+        if cfg.minibatch_size % self.mesh.shape[DATA_AXIS]:
+            raise ValueError(
+                f"minibatch_size={cfg.minibatch_size} not divisible by "
+                f"data-parallel devices={self.mesh.shape[DATA_AXIS]}"
+            )
+        if knn_fn is None and cfg.use_pallas:
+            knn_fn = _maybe_pallas_knn()
+        self.model = get_model(
+            cfg.model_name,
+            cfg.model_spec(),
+            knn_fn=knn_fn,
+            precision=_precision_of(cfg.precision),
+        )
+        self.opt = _make_optimizer(
+            getattr(cfg, "optimizer", "adam"), cfg.learning_rate
+        )
+        self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        self._repl_sharding = NamedSharding(self.mesh, P())
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ---------------------------------------------------------------- init
+
+    def initialize(self, in_dim: int, rng=None) -> TrainState:
+        """Init params/optimizer (reference `trainval.initialize` [M])."""
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        params, mstate = self.model.init(rng, in_dim)
+        opt_state = self.opt.init(params)
+        state = TrainState(
+            params=params,
+            model_state=mstate,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+            rng=rng,
+        )
+        return jax.device_put(state, self._repl_sharding)
+
+    # ---------------------------------------------------------- train step
+
+    def _build_train_step(self):
+        model, opt = self.model, self.opt
+        bn_axis = DATA_AXIS if self.cfg.bn_sync else None
+
+        def device_step(params, mstate, opt_state, step, rng, points, labels, weights, mask):
+            dev_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, step), jax.lax.axis_index(DATA_AXIS)
+            )
+
+            def loss_fn(p):
+                logits, new_mstate = model.apply(
+                    p, mstate, points, mask, train=True, rng=dev_rng,
+                    bn_axis=bn_axis,
+                )
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+                w = weights * mask.astype(logits.dtype)
+                # exact global weighted mean: device-count invariant
+                loss_sum = jax.lax.psum(-jnp.sum(ll * w), DATA_AXIS)
+                w_sum = jax.lax.psum(jnp.sum(w), DATA_AXIS)
+                loss = loss_sum / jnp.maximum(w_sum, 1e-9)
+                pred = jnp.argmax(logits, axis=-1)
+                correct = jnp.sum((pred == labels) * mask)
+                nvalid = jnp.sum(mask)
+                return loss, (new_mstate, correct, nvalid)
+
+            (loss, (new_mstate, correct, nvalid)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            # params are replicated (unvarying) inputs, so shard_map's AD
+            # inserts the cross-device psum itself: `grads` is already the
+            # full global gradient on every device (the tower-average
+            # analog). A manual psum here would multiply it by the device
+            # count.
+            updates, new_opt_state = opt.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            # per-replica batch norm in fwd; running stats synced
+            new_mstate = jax.tree_util.tree_map(
+                lambda s: jax.lax.pmean(s, DATA_AXIS), new_mstate
+            )
+            acc = jax.lax.psum(correct, DATA_AXIS) / jnp.maximum(
+                jax.lax.psum(nvalid, DATA_AXIS), 1.0
+            )
+            metrics = {"loss": loss, "acc": acc.astype(jnp.float32)}
+            return new_params, new_mstate, new_opt_state, step + 1, rng, metrics
+
+        smapped = jax.shard_map(
+            device_step,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P(), P(), P(), P(), P()),
+        )
+        return jax.jit(smapped, donate_argnums=(0, 1, 2))
+
+    def train_step(self, state: TrainState, batch) -> tuple[TrainState, dict]:
+        """One optimization step (reference `trainval.train_step` [M])."""
+        points, labels, weights, mask = self._put_batch(batch)
+        p, ms, os_, step, rng, metrics = self._train_step(
+            state.params, state.model_state, state.opt_state, state.step,
+            state.rng, points, labels, weights, mask,
+        )
+        return TrainState(p, ms, os_, step, rng), metrics
+
+    # ----------------------------------------------------------- eval step
+
+    def _build_eval_step(self):
+        model = self.model
+        num_class = self.cfg.num_class
+
+        def device_eval(params, mstate, points, labels, weights, mask):
+            logits, _ = model.apply(params, mstate, points, mask, train=False)
+            scores = jax.nn.softmax(logits, axis=-1)
+            pred = jnp.argmax(logits, axis=-1)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+            w = weights * mask.astype(logits.dtype)
+            loss_sum = jax.lax.psum(-jnp.sum(ll * w), DATA_AXIS)
+            w_sum = jax.lax.psum(jnp.sum(w), DATA_AXIS)
+            cls = jnp.arange(num_class, dtype=jnp.int32)
+            m = mask.reshape(-1).astype(jnp.float32)
+            t1h = (labels.reshape(-1)[:, None] == cls).astype(jnp.float32) * m[:, None]
+            p1h = (pred.reshape(-1)[:, None] == cls).astype(jnp.float32)
+            cm = jax.lax.psum(t1h.T @ p1h, DATA_AXIS)
+            loss = loss_sum / jnp.maximum(w_sum, 1e-9)
+            return scores, pred, loss, cm
+
+        smapped = jax.shard_map(
+            device_eval,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+        )
+        return jax.jit(smapped)
+
+    def inference(self, state: TrainState, batch):
+        """Forward pass in eval mode (reference `trainval.inference` [M]).
+
+        Returns (scores (B,N,C), pred (B,N), metrics dict incl. confusion
+        matrix) — per-point softmax scores for write-back.
+        """
+        points, labels, weights, mask = self._put_batch(batch)
+        scores, pred, loss, cm = self._eval_step(
+            state.params, state.model_state, points, labels, weights, mask
+        )
+        return scores, pred, {"loss": loss, "confusion": cm}
+
+    # ------------------------------------------------------------- helpers
+
+    def _put_batch(self, batch):
+        if isinstance(batch, Batch):
+            points, labels, mask = batch.points, batch.labels, batch.mask
+            weights = batch.weights
+        else:
+            points, labels, weights, mask = batch
+        if weights is None:
+            weights = np.ones(labels.shape, np.float32)
+        put = lambda x: jax.device_put(np.asarray(x), self._batch_sharding)
+        return (
+            put(points.astype(np.float32)),
+            put(labels.astype(np.int32)),
+            put(weights.astype(np.float32)),
+            put(mask),
+        )
+
+
+def _make_optimizer(name: str, lr: float):
+    """Reference uses Adam [H per SURVEY.md §2 #4]; others for experiments."""
+    if name == "adam":
+        return optax.adam(lr)
+    if name == "adamw":
+        return optax.adamw(lr)
+    if name == "sgd":
+        return optax.sgd(lr)
+    if name == "momentum":
+        return optax.sgd(lr, momentum=0.9)
+    raise ValueError(f"unknown optimizer {name!r}")
+
+
+def _maybe_pallas_knn():
+    """Fused Pallas kNN when available on this backend, else the jnp oracle."""
+    try:
+        from dgcnn_tpu.kernels.knn_pallas import knn_pallas
+
+        return knn_pallas
+    except ImportError:
+        return None

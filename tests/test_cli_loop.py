@@ -1,0 +1,103 @@
+"""End-to-end driver loops: train → checkpoint → resume → inference → write-back."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dgcnn_tpu.config import Config, parse_args
+from dgcnn_tpu.io import SyntheticIO, write_canonical
+from dgcnn_tpu.train.loop import inference, train
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(
+        command="train",
+        io_type="synthetic",
+        num_class=2,
+        kvalue=8,
+        edge_filters=(16, 16),
+        head_feat_dim=32,
+        head_mlp=(32,),
+        minibatch_size=8,
+        num_point=192,
+        iteration=150,
+        report_step=5,
+        checkpoint_step=10,
+        learning_rate=1e-2,
+        use_pallas=False,
+        precision="highest",
+        weight_prefix=str(tmp_path / "w/snap"),
+        log_dir=str(tmp_path / "log"),
+        seed=7,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_parse_args_parity():
+    cfg = parse_args(
+        [
+            "train",
+            "-io", "h5", "-if", "ev.h5", "-mb", "16", "-k", "10",
+            "-i", "500", "-lr", "0.005", "-mn", "residual-dgcnn",
+            "--edge_filters", "32", "32", "32", "--no_shuffle",
+        ]
+    )
+    assert cfg.command == "train"
+    assert cfg.io_type == "h5" and cfg.input_file == "ev.h5"
+    assert cfg.minibatch_size == 16 and cfg.kvalue == 10
+    assert cfg.iteration == 500 and cfg.learning_rate == 0.005
+    assert cfg.model_name == "residual-dgcnn"
+    assert cfg.edge_filters == (32, 32, 32) and cfg.num_edge_conv == 3
+    assert not cfg.shuffle
+
+    inf = parse_args(["inference", "-mp", "w/snap", "-of", "out.h5"])
+    assert inf.command == "inference" and inf.model_path == "w/snap"
+
+
+def test_train_checkpoint_resume_inference(tmp_path):
+    cfg = _cfg(tmp_path)
+    metrics = train(cfg)
+    assert metrics["loss"] < 0.7, metrics
+    assert os.path.exists(str(tmp_path / "w/snap-150.ckpt"))
+    assert os.path.exists(str(tmp_path / "log/train_log.csv"))
+    with open(tmp_path / "log/train_log.csv") as f:
+        header = f.readline().strip().split(",")
+    assert header[:2] == ["iter", "epoch"] and "loss" in header and "titer" in header
+
+    # resume from the final checkpoint and keep training
+    cfg2 = _cfg(tmp_path, iteration=160, model_path=str(tmp_path / "w/snap"))
+    m2 = train(cfg2)
+    assert os.path.exists(str(tmp_path / "w/snap-160.ckpt"))
+
+    # inference over a real file with write-back — use the same event
+    # distribution the model trained on (io_factory synthetic, seed 7) so
+    # accuracy checks restore correctness, not tiny-model generalization
+    events_path = str(tmp_path / "events.h5")
+    io = SyntheticIO(num_events=16, num_point=192, num_class=2, seed=7).initialize()
+    write_canonical(events_path, [io.read_event(i) for i in range(16)], "h5")
+    cfg3 = _cfg(
+        tmp_path,
+        command="inference",
+        io_type="h5",
+        input_file=events_path,
+        model_path=str(tmp_path / "w/snap"),
+        output_file=str(tmp_path / "pred.h5"),
+        shuffle=False,
+        iteration=0,
+    )
+    summary = inference(cfg3)
+    assert summary["acc"] > 0.65, summary
+    import h5py
+
+    with h5py.File(tmp_path / "pred.h5", "r") as f:
+        assert sorted(f.keys()) >= ["data", "event_ids", "offsets", "prediction"]
+        ids = np.asarray(f["event_ids"])
+        off = np.asarray(f["offsets"])
+        assert len(ids) == 16
+        # every event's prediction count matches its true (≤cropped) size
+        for j, eid in enumerate(ids):
+            n_pred = off[j + 1] - off[j]
+            assert 0 < n_pred <= 192
+            assert n_pred == min(len(io.read_event(int(eid))), 192)

@@ -1,0 +1,141 @@
+"""IO subsystem: readers round-trip, bucketed batching, prefetch, write-back."""
+
+import numpy as np
+import pytest
+
+from dgcnn_tpu.config import Config
+from dgcnn_tpu.io import (
+    BucketBatcher,
+    CSVIO,
+    SegmentWriter,
+    SyntheticIO,
+    io_factory,
+    pad_events,
+    prefetch,
+    write_canonical,
+)
+from dgcnn_tpu.io.readers import Event
+
+
+def _make_events(n=10, seed=0, with_weights=False):
+    io = SyntheticIO(
+        num_events=n, num_point=300, seed=seed, with_weights=with_weights
+    ).initialize()
+    return [io.read_event(i) for i in range(n)]
+
+
+@pytest.mark.parametrize("fmt,ext", [("h5", "h5"), ("npz", "npz")])
+def test_canonical_roundtrip(tmp_path, fmt, ext):
+    events = _make_events(with_weights=True)
+    path = str(tmp_path / f"ev.{ext}")
+    write_canonical(path, events, fmt)
+    cfg = Config(io_type=fmt, input_file=path, weight_key="weight")
+    io = io_factory(cfg).initialize()
+    assert io.num_events() == len(events)
+    for i in (0, 3, 9):
+        ev = io.read_event(i)
+        np.testing.assert_allclose(ev.points, events[i].points)
+        np.testing.assert_array_equal(ev.labels, events[i].labels)
+        np.testing.assert_allclose(ev.weights, events[i].weights, rtol=1e-6)
+    io.finalize()
+
+
+def test_csv_roundtrip(tmp_path):
+    events = _make_events(4)
+    path = str(tmp_path / "ev.csv")
+    with open(path, "w") as f:
+        f.write("event_id,x,y,z,value,label\n")
+        for e in events:
+            for p, l in zip(e.points, e.labels):
+                f.write(f"{e.id},{p[0]},{p[1]},{p[2]},{p[3]},{l}\n")
+    io = CSVIO(path).initialize()
+    assert io.num_events() == 4
+    ev = io.read_event(2)
+    np.testing.assert_allclose(ev.points, events[2].points, rtol=1e-5)
+    np.testing.assert_array_equal(ev.labels, events[2].labels)
+
+
+def test_pad_events_crop_and_pad():
+    events = _make_events(3)
+    batch = pad_events(events, 256, np.random.RandomState(0))
+    assert batch.points.shape == (3, 256, 4)
+    for i, e in enumerate(events):
+        m = min(len(e), 256)
+        assert batch.mask[i, :m].all() and not batch.mask[i, m:].any()
+        assert batch.lengths[i] == len(e)
+
+
+def test_bucket_batcher_shapes_and_coverage():
+    io = SyntheticIO(num_events=13, num_point=700, seed=1).initialize()
+    b = BucketBatcher(io, batch_size=4, buckets=(256, 512, 1024), seed=0)
+    seen = set()
+    for batch in b.epoch():
+        assert batch.points.shape[0] == 4
+        n = batch.points.shape[1]
+        assert n % 128 == 0 and n in (256, 512, 1024)
+        # bucket is the smallest that fits
+        assert batch.mask.sum(axis=1).max() <= n
+        seen.update(batch.event_ids.tolist())
+    assert seen == set(range(13))  # every event appears despite fill-up
+
+
+def test_bucket_batcher_fixed_num_point():
+    io = SyntheticIO(num_events=8, num_point=700, seed=2).initialize()
+    b = BucketBatcher(io, batch_size=4, num_point=300, seed=0)
+    for batch in b.epoch():
+        assert batch.points.shape[1] == 384  # 300 rounded to lane multiple
+        assert batch.mask.sum(axis=1).max() <= 300
+
+
+def test_prefetch_order_and_errors():
+    assert list(prefetch(iter(range(50)), 4)) == list(range(50))
+
+    def boom():
+        yield 1
+        raise RuntimeError("reader failed")
+
+    it = prefetch(boom(), 2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="reader failed"):
+        next(it)
+
+
+@pytest.mark.parametrize("ext", ["h5", "npz", "csv"])
+def test_segment_writer_roundtrip(tmp_path, ext):
+    path = str(tmp_path / f"out.{ext}")
+    w = SegmentWriter(path)
+    rng = np.random.RandomState(0)
+    recs = {}
+    for eid in (3, 1, 1, 2):  # duplicate id 1 → first wins
+        pts = rng.randn(5 + eid, 4).astype(np.float32)
+        pred = rng.randint(0, 3, len(pts)).astype(np.int32)
+        scores = rng.rand(len(pts), 3).astype(np.float32)
+        w.store_segment(eid, pts, pred, scores)
+        recs.setdefault(eid, (pts, pred, scores))
+    assert len(w) == 3
+    w.finalize()
+    if ext == "csv":
+        import csv
+
+        with open(path) as f:
+            rows = list(csv.reader(f))
+        assert rows[0][:6] == ["event_id", "x", "y", "z", "value", "prediction"]
+        assert len(rows) - 1 == sum(len(r[0]) for r in recs.values())
+    else:
+        if ext == "h5":
+            import h5py
+
+            with h5py.File(path, "r") as f:
+                data = {k: np.asarray(f[k]) for k in f}
+        else:
+            with np.load(path) as z:
+                data = {k: z[k] for k in z}
+        np.testing.assert_array_equal(data["event_ids"], [1, 2, 3])
+        off = data["offsets"]
+        for j, eid in enumerate([1, 2, 3]):
+            np.testing.assert_array_equal(
+                data["prediction"][off[j] : off[j + 1]], recs[eid][1]
+            )
+            np.testing.assert_allclose(
+                data["scores"][off[j] : off[j + 1]], recs[eid][2]
+            )
