@@ -1,0 +1,233 @@
+"""Fused Pallas TPU kNN: blockwise distance matmul + running top-k.
+
+The BASELINE.json north-star kernel: "per-layer dynamic graph construction
+(pairwise-distance matmul + top-k kNN) becomes a fused Pallas kernel".
+The reference materializes the full B×N×N distance matrix and runs
+`tf.nn.top_k` over it [H per SURVEY.md §0.6]; at N=16k that is 1 GB of
+HBM traffic per EdgeConv layer plus an XLA sort. This kernel streams
+(QB×T) score tiles straight out of the MXU into an on-chip running top-k
+— the N×N matrix never exists in HBM.
+
+Grid layout: ``(batch, query_block, key_tile)`` with the key tile
+innermost, so Pallas double-buffers the key-tile DMA behind the MXU work
+and the kernel scales to any N (keys are never VMEM-resident in full).
+The running top-k lives in VMEM scratch, persisting across the key-tile
+grid steps of one query block.
+
+Algorithm, per (query block, key tile) program:
+  1. score tile  S = qa @ ka^T  on the MXU, where the *augmented* operands
+     fold the whole distance computation and key masking into one matmul:
+        qa_i = [2·x_i, −1, −1]                 (queries)
+        ka_j = [x_j, ‖x_j‖², BIG·(1−mask_j)]   (keys)
+     so S_ij = 2⟨x_i,x_j⟩ − ‖x_j‖² − BIG·(1−mask_j) = ‖x_i‖² − D_ij (− BIG
+     if masked). The per-row constant ‖x_i‖² does not change any row's
+     top-k *order*, so distances need never be completed.
+  2. merge the tile into a sorted (descending-score) running top-k of
+     (value, index) pairs via iterative extraction: per pass, take the
+     tile's row max (ties → lowest index, matching `jax.lax.top_k`),
+     insert it into the sorted list with a compare-roll, and knock it out
+     of the tile. A `while_loop` exits as soon as no row's tile max can
+     still enter its top-k — in expectation ~k·T/N + 1 passes instead of k.
+
+Outputs are laid out (k, N) so the lane dimension stays wide; the wrapper
+transposes and converts to the oracle's (idx, neighbor_valid) contract
+(invalid slots → self-edges), making this a drop-in `knn_fn` for
+`models.dgcnn.make_model`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_BIG = 1e30  # masked-key score offset; anything below -1e29 is invalid
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+def _knn_kernel(qa_ref, ka_ref, idx_ref, val_ref, topv_s, topi_s, *, k, block_t, precision):
+    """One (batch, query-block, key-tile) program."""
+    t = pl.program_id(2)
+    num_tiles = pl.num_programs(2)
+    qa = qa_ref[0]  # (QB, Cp)
+    qb = qa.shape[0]
+
+    @pl.when(t == 0)
+    def _():
+        topv_s[:] = jnp.full((qb, k), NEG_INF, jnp.float32)
+        topi_s[:] = jnp.zeros((qb, k), jnp.int32)
+
+    scores = jax.lax.dot_general(
+        qa,
+        ka_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # (QB, T)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (qb, block_t), 1)
+    kio = jax.lax.broadcasted_iota(jnp.int32, (qb, k), 1)
+    tile_base = t * block_t
+
+    def pass_cond(c):
+        s, topv, _, scores = c
+        worst = jnp.min(topv, axis=1)  # sorted desc → worst is the min
+        can_enter = jnp.any(jnp.max(scores, axis=1) > worst)
+        return jnp.logical_and(s < k, can_enter)
+
+    def pass_body(c):
+        s, topv, topi, scores = c
+        m = jnp.max(scores, axis=1, keepdims=True)  # (QB, 1)
+        # lowest column index among the maxima — lax.top_k tie order
+        arg = jnp.min(
+            jnp.where(scores == m, cols, jnp.int32(2**30)),
+            axis=1,
+            keepdims=True,
+        )
+        gidx = arg + tile_base
+        # knock the extracted element out of the tile
+        scores = jnp.where(cols == arg, NEG_INF, scores)
+        # sorted insert (descending values; `>=` places a new entry after
+        # its equals, preserving index-ascending tie order)
+        pos = jnp.sum((topv >= m).astype(jnp.int32), axis=1, keepdims=True)
+        rolled_v = pltpu.roll(topv, 1, axis=1)
+        rolled_i = pltpu.roll(topi, 1, axis=1)
+        new_v = jnp.where(kio < pos, topv, jnp.where(kio == pos, m, rolled_v))
+        new_i = jnp.where(kio < pos, topi, jnp.where(kio == pos, gidx, rolled_i))
+        # rows whose max can no longer enter keep their list unchanged
+        enter = m > jnp.min(topv, axis=1, keepdims=True)
+        new_v = jnp.where(enter, new_v, topv)
+        new_i = jnp.where(enter, new_i, topi)
+        return s + 1, new_v, new_i, scores
+
+    _, topv, topi, _ = jax.lax.while_loop(
+        pass_cond, pass_body, (jnp.int32(0), topv_s[:], topi_s[:], scores)
+    )
+    topv_s[:] = topv
+    topi_s[:] = topi
+
+    @pl.when(t == num_tiles - 1)
+    def _():
+        idx_ref[0] = topi.T  # (k, QB)
+        val_ref[0] = topv.T
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _vma(x):
+    """Varying-mesh-axes of ``x`` — outputs inherit them (needed when the
+    kernel runs inside shard_map with replication checking on)."""
+    try:
+        return jax.typeof(x).vma
+    except Exception:
+        return frozenset()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_q", "block_t", "interpret", "precision"),
+)
+def _knn_pallas_call(x, mask, *, k, block_q, block_t, interpret, precision):
+    b, n, c = x.shape
+    # graph construction is non-differentiable (integer neighbor indices,
+    # same as top_k in the oracle) — make that explicit so AD never asks
+    # the pallas_call for a VJP
+    x = jax.lax.stop_gradient(x)
+    n_pad = _round_up(n, int(np.lcm(block_q, block_t)))
+    # augmented operands (fold distances + masking into one matmul)
+    x2 = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    if mask is None:
+        mask = jnp.ones((b, n), bool)
+    maskf = mask.astype(jnp.float32)[..., None]
+    qa = jnp.concatenate(
+        [2.0 * x, -jnp.ones_like(x2), -jnp.ones_like(x2)], axis=-1
+    )
+    ka = jnp.concatenate([x, x2, MASK_BIG * (1.0 - maskf)], axis=-1)
+    cp = _round_up(qa.shape[-1], 128)
+    pad_c = cp - qa.shape[-1]
+    pad_n = n_pad - n
+    qa = jnp.pad(qa, ((0, 0), (0, pad_n), (0, pad_c)))
+    ka = jnp.pad(
+        jnp.pad(ka, ((0, 0), (0, 0), (0, pad_c))),
+        ((0, 0), (0, pad_n), (0, 0)),
+    )
+    if pad_n:
+        # padded key rows must never be selected: flag via the BIG channel
+        ka = ka.at[:, n:, c + 1].set(MASK_BIG)
+
+    grid = (b, n_pad // block_q, n_pad // block_t)
+    idx_t, val_t = pl.pallas_call(
+        functools.partial(
+            _knn_kernel, k=k, block_t=block_t, precision=precision
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, cp), lambda b_, q, t: (b_, q, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_t, cp), lambda b_, q, t: (b_, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, k, block_q), lambda b_, q, t: (b_, 0, q),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, k, block_q), lambda b_, q, t: (b_, 0, q),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k, n_pad), jnp.int32, vma=_vma(qa)),
+            jax.ShapeDtypeStruct((b, k, n_pad), jnp.float32, vma=_vma(qa)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, k), jnp.float32),
+            pltpu.VMEM((block_q, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qa, ka)
+    idx = jnp.swapaxes(idx_t, -1, -2)[:, :n]  # (B, N, k)
+    vals = jnp.swapaxes(val_t, -1, -2)[:, :n]
+    valid = vals > -1e29
+    self_idx = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    idx = jnp.where(valid, idx, self_idx)
+    return idx, valid
+
+
+def knn_pallas(
+    x,
+    k: int,
+    mask=None,
+    *,
+    block_q: int = 256,
+    block_t: int = 1024,
+    interpret: bool | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Drop-in replacement for `ops.knn.knn_indices` (same contract).
+
+    Falls back to smaller blocks for small N. ``interpret`` defaults to
+    True off-TPU (CPU tests) and False on TPU. ``precision`` controls the
+    MXU score matmul: HIGHEST (default) is f32-faithful so neighbor sets
+    match the f32 oracle; DEFAULT uses single-pass bf16 (faster, may swap
+    near-equidistant neighbors — harmless for training quality).
+    """
+    b, n, c = x.shape
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    block_q = min(block_q, _round_up(n, 128))
+    block_t = min(block_t, _round_up(n, 128))
+    return _knn_pallas_call(
+        x, mask, k=k, block_q=block_q, block_t=block_t, interpret=interpret,
+        precision=precision,
+    )

@@ -1,0 +1,89 @@
+"""Ring kNN / ring gather (context parallelism) vs the global oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from dgcnn_tpu.kernels.ring_knn import ring_gather, ring_knn
+from dgcnn_tpu.ops.edge import gather_neighbors
+from dgcnn_tpu.ops.knn import knn_indices
+from dgcnn_tpu.parallel.mesh import POINT_AXIS, make_mesh
+
+HI = jax.lax.Precision.HIGHEST
+
+
+def _cp_mesh(n=8):
+    return make_mesh(num_devices=n, num_point_shards=n)
+
+
+def _run_ring_knn(x, k, mask=None, n_shards=8):
+    mesh = _cp_mesh(n_shards)
+    fn = jax.jit(
+        jax.shard_map(
+            lambda xs, ms: ring_knn(xs, k, ms, precision=HI),
+            mesh=mesh,
+            in_specs=(P(None, POINT_AXIS), P(None, POINT_AXIS)),
+            out_specs=(P(None, POINT_AXIS), P(None, POINT_AXIS)),
+        )
+    )
+    if mask is None:
+        mask = jnp.ones(x.shape[:-1], bool)
+    return fn(x, mask)
+
+
+@pytest.mark.parametrize("n,c,k", [(512, 8, 16), (1024, 32, 20)])
+def test_ring_knn_matches_global_oracle(n, c, k):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, n, c).astype(np.float32))
+    idx_r, valid_r = _run_ring_knn(x, k)
+    idx_o, valid_o = knn_indices(x, k, precision=HI)
+    np.testing.assert_array_equal(np.asarray(idx_r), np.asarray(idx_o))
+    np.testing.assert_array_equal(np.asarray(valid_r), np.asarray(valid_o))
+
+
+def test_ring_knn_masked_matches_oracle():
+    rng = np.random.RandomState(1)
+    n = 512
+    x = jnp.asarray(rng.randn(1, n, 6).astype(np.float32))
+    mask = jnp.asarray((np.arange(n) < 300)[None])  # pad spans shards 4..7
+    idx_r, valid_r = _run_ring_knn(x, 12, mask)
+    idx_o, valid_o = knn_indices(x, 12, mask, precision=HI)
+    np.testing.assert_array_equal(np.asarray(idx_r), np.asarray(idx_o))
+    np.testing.assert_array_equal(np.asarray(valid_r), np.asarray(valid_o))
+
+
+def test_ring_knn_fewer_than_k_globally():
+    rng = np.random.RandomState(2)
+    n, k = 256, 16
+    x = jnp.asarray(rng.randn(1, n, 4).astype(np.float32))
+    mask = jnp.asarray((np.arange(n) < 10)[None])  # 10 valid points, k=16
+    idx_r, valid_r = _run_ring_knn(x, k, mask)
+    idx_o, valid_o = knn_indices(x, k, mask, precision=HI)
+    np.testing.assert_array_equal(np.asarray(valid_r), np.asarray(valid_o))
+    # degraded slots are *global* self indices everywhere
+    self_idx = np.broadcast_to(np.arange(n)[None, :, None], idx_r.shape)
+    np.testing.assert_array_equal(
+        np.where(np.asarray(valid_r), 0, np.asarray(idx_r)),
+        np.where(np.asarray(valid_r), 0, self_idx),
+    )
+
+
+def test_ring_gather_matches_local_gather():
+    rng = np.random.RandomState(3)
+    n, k, c = 512, 8, 16
+    vals = jnp.asarray(rng.randn(2, n, c).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, n, size=(2, n, k)).astype(np.int32))
+    mesh = _cp_mesh(8)
+    fn = jax.jit(
+        jax.shard_map(
+            ring_gather,
+            mesh=mesh,
+            in_specs=(P(None, POINT_AXIS), P(None, POINT_AXIS)),
+            out_specs=P(None, POINT_AXIS),
+        )
+    )
+    out = fn(vals, idx)
+    expect = gather_neighbors(vals, idx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=0)
