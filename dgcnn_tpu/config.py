@@ -66,6 +66,7 @@ class Config:
     profile_dir: str = ""
     # TPU-native execution
     num_devices: int = 0  # 0 → all local devices
+    point_shards: int = 1  # context parallelism: shard the point axis
     use_pallas: bool = True
     precision: str = "default"  # default | highest | bfloat16
 
@@ -121,7 +122,7 @@ def _add_common_flags(p: argparse.ArgumentParser):
 
     g = p.add_argument_group("io")
     g.add_argument("-io", "--io_type", default="h5",
-                   choices=["h5", "npz", "csv", "synthetic"])
+                   choices=["h5", "npz", "csv", "dgb", "synthetic"])
     g.add_argument("-if", "--input_file", default="")
     g.add_argument("-of", "--output_file", default="")
     g.add_argument("--data_key", default="data")
@@ -147,6 +148,9 @@ def _add_common_flags(p: argparse.ArgumentParser):
     g = p.add_argument_group("tpu")
     g.add_argument("-nd", "--num_devices", type=int, default=0,
                    help="data-parallel device count (0 = all local devices)")
+    g.add_argument("-ps", "--point_shards", type=int, default=1,
+                   help="context parallelism: shard each event's points "
+                   "over this many devices (ring kNN over ICI)")
     g.add_argument("--no_pallas", dest="use_pallas", action="store_false")
     g.add_argument("--precision", default="default",
                    choices=["default", "highest", "bfloat16"])

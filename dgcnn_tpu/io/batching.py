@@ -151,20 +151,27 @@ class BucketBatcher:
             batches.pop()
         if self.shuffle:
             self.rng.shuffle(batches)
+        lengths = self._event_lengths()
+        native_batch = getattr(self.io, "read_batch", None)
         for idxs in batches:
-            events = [self.io.read_event(int(i)) for i in idxs]
+            ids = list(map(int, idxs))
             # static shapes: repeat events to fill a short remainder batch
             # (repeats carry real masks; dedup happens at write-back via
             # event_ids)
-            while len(events) < self.batch_size:
-                events = events + events[: self.batch_size - len(events)]
-            n_pad = self._bucket_for(max(len(e) for e in events))
-            yield pad_events(
-                events,
-                n_pad,
-                self.rng if self.shuffle else None,
-                crop=self.num_point or None,
-            )
+            while len(ids) < self.batch_size:
+                ids = ids + ids[: self.batch_size - len(ids)]
+            n_pad = self._bucket_for(int(max(lengths[i] for i in ids)))
+            if native_batch is not None:
+                # reader-side batch assembly (C++ threaded path for DGB)
+                yield native_batch(ids, n_pad, crop=self.num_point or 0)
+            else:
+                events = [self.io.read_event(i) for i in ids]
+                yield pad_events(
+                    events,
+                    n_pad,
+                    self.rng if self.shuffle else None,
+                    crop=self.num_point or None,
+                )
 
     def forever(self) -> Iterator[Batch]:
         """Endless epochs (training)."""

@@ -19,10 +19,22 @@ from dgcnn_tpu.io.readers import CSVIO
 from dgcnn_tpu.io.synthetic import SyntheticIO, write_canonical
 
 
+def write_any(path: str, events):
+    """Write events in the format implied by the extension (h5/npz/dgb)."""
+    if path.endswith(".dgb"):
+        from dgcnn_tpu.io.dgb import write_dgb
+
+        write_dgb(path, events)
+    elif path.endswith(".npz"):
+        write_canonical(path, events, "npz")
+    else:
+        write_canonical(path, events, "h5")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="dgcnn_tpu.io.convert", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("csv2h5", "csv2npz"):
+    for name in ("csv2h5", "csv2npz", "csv2dgb"):
         c = sub.add_parser(name)
         c.add_argument("input")
         c.add_argument("output")
@@ -36,10 +48,10 @@ def main(argv=None):
     s.add_argument("--fixed_length", action="store_true")
     ns = p.parse_args(argv)
 
-    if ns.cmd in ("csv2h5", "csv2npz"):
+    if ns.cmd.startswith("csv2"):
         io = CSVIO(ns.input).initialize()
         events = [io.read_event(i) for i in range(io.num_events())]
-        write_canonical(ns.output, events, "h5" if ns.cmd == "csv2h5" else "npz")
+        write_any(ns.output, events)
         print(f"wrote {len(events)} events -> {ns.output}")
     else:
         io = SyntheticIO(
@@ -51,8 +63,7 @@ def main(argv=None):
             with_weights=ns.weights,
         ).initialize()
         events = [io.read_event(i) for i in range(io.num_events())]
-        fmt = "npz" if ns.output.endswith(".npz") else "h5"
-        write_canonical(ns.output, events, fmt)
+        write_any(ns.output, events)
         total = sum(len(e) for e in events)
         print(f"wrote {len(events)} events ({total} points) -> {ns.output}")
 

@@ -210,7 +210,12 @@ def io_factory(cfg) -> IOBase:
         raise ValueError(f"io_type={kind!r} requires --input_file")
     if not os.path.exists(cfg.input_file):
         raise FileNotFoundError(cfg.input_file)
-    cls = {"h5": H5IO, "npz": NPZIO, "csv": CSVIO}.get(kind)
+    if kind == "dgb":
+        from dgcnn_tpu.io.dgb import DGBIO
+
+        cls = DGBIO
+    else:
+        cls = {"h5": H5IO, "npz": NPZIO, "csv": CSVIO}.get(kind)
     if cls is None:
         raise ValueError(f"unknown io_type {kind!r}")
     return cls(cfg.input_file, cfg.data_key, cfg.label_key, cfg.weight_key)

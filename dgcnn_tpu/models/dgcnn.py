@@ -33,7 +33,7 @@ from dgcnn_tpu.models.core import (
     dense_init,
     dropout,
 )
-from dgcnn_tpu.ops.edge import edge_preact_factorized
+from dgcnn_tpu.ops.edge import gather_neighbors
 from dgcnn_tpu.ops.knn import knn_indices
 from dgcnn_tpu.ops.norm import batch_norm_apply
 
@@ -74,16 +74,30 @@ def _masked_max_points(x, mask):
     return jnp.where(any_valid, y, 0.0)
 
 
-def make_model(spec: ModelSpec, knn_fn=None, precision=None) -> Model:
+def make_model(
+    spec: ModelSpec,
+    knn_fn=None,
+    precision=None,
+    gather_fn=None,
+    pool_fn=None,
+) -> Model:
     """Build the init/apply pair for a DGCNN segmentation model.
 
     Args:
       spec: architecture hyperparameters.
       knn_fn: optional override with signature ``(x, k, mask) -> (idx, valid)``
-        — e.g. the fused Pallas kernel. Defaults to the jnp oracle.
+        — e.g. the fused Pallas kernel, or `ring_knn` under context
+        parallelism. Defaults to the jnp oracle.
       precision: matmul precision for oracle-vs-kernel comparisons.
+      gather_fn: ``(values, idx) -> (B, N, k, C)`` neighbor gather —
+        `ring_gather` under context parallelism. Defaults to the local
+        take-along-axis gather.
+      pool_fn: ``(x, mask) -> (B, C)`` masked global max pool — a
+        pmax-reducing variant under context parallelism.
     """
     _knn = knn_fn or (lambda x, k, mask: knn_indices(x, k, mask, precision=precision))
+    _gather = gather_fn or gather_neighbors
+    _pool = pool_fn or _masked_max_points
 
     def init(rng, in_dim: int):
         keys = iter(jax.random.split(rng, 64))
@@ -138,9 +152,14 @@ def make_model(spec: ModelSpec, knn_fn=None, precision=None) -> Model:
 
         for blk_p, blk_s in zip(params["blocks"], state["blocks"]):
             idx, _ = _knn(x, spec.k, mask)
-            h = edge_preact_factorized(
-                x, idx, blk_p["w"], blk_p.get("b"), precision=precision
-            )  # (B, N, k, C_out) — no bias: BN follows
+            # factorized EdgeConv pre-activation h_ij = P_i + Q_j (see
+            # ops.edge.edge_preact_factorized — inlined here so the gather
+            # is pluggable for context parallelism); no bias: BN follows
+            c = x.shape[-1]
+            wa, wb = blk_p["w"][:c], blk_p["w"][c:]
+            p_feat = jnp.einsum("...nc,cd->...nd", x, wa - wb, precision=precision)
+            q_feat = jnp.einsum("...nc,cd->...nd", x, wb, precision=precision)
+            h = p_feat[..., :, None, :] + _gather(q_feat, idx)  # (B,N,k,C_out)
 
             bn_mask = None if edge_mask is None else edge_mask[..., None]
             h, bn_s = batch_norm_apply(
@@ -178,7 +197,7 @@ def make_model(spec: ModelSpec, knn_fn=None, precision=None) -> Model:
         new_state["head"]["feat"] = feat_s
 
         if spec.global_pool:
-            g = _masked_max_points(feat, mask)  # (B, head_feat_dim)
+            g = _pool(feat, mask)  # (B, head_feat_dim)
             g = jnp.broadcast_to(g[..., None, :], agg.shape[:-1] + g.shape[-1:])
             h = jnp.concatenate([agg, g], axis=-1)
         else:

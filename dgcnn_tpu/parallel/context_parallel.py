@@ -1,0 +1,64 @@
+"""Context parallelism: DGCNN over events whose points are sharded.
+
+Glue between the ring primitives (`kernels.ring_knn`) and the model: the
+graph ops a point-sharded `make_model` needs. The reference has no
+analog — it caps events at NUM_POINT on one device [H per SURVEY.md §5];
+this is the rebuild's path to 100k+-point events (BASELINE config 5):
+every EdgeConv's dynamic graph build ring-passes point blocks over ICI
+(`ppermute`), the neighbor gather becomes a ring halo exchange, and the
+global max pool finishes with a `pmax` over the ``points`` axis.
+
+Use with `models.make_model`:
+
+    ops = cp_graph_ops(precision=...)
+    model = make_model(spec, knn_fn=ops.knn, gather_fn=ops.gather,
+                       pool_fn=ops.pool)
+
+inside a `shard_map` whose in/out specs shard the point axis on
+`POINT_AXIS` (Trainval wires this up when ``point_shards > 1``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dgcnn_tpu.kernels.ring_knn import ring_gather, ring_knn
+from dgcnn_tpu.parallel.mesh import POINT_AXIS
+
+
+class GraphOps(NamedTuple):
+    knn: Callable
+    gather: Callable
+    pool: Callable
+
+
+def cp_masked_max_pool(x, mask, axis_name: str = POINT_AXIS):
+    """Masked max over the (sharded) point axis → replicated (B, C).
+
+    Uses all_gather + max instead of `pmax` because pmax has no
+    differentiation rule; the gathered tensor is only (shards, B, C).
+    """
+    neg = jnp.finfo(x.dtype).min
+    if mask is None:
+        local = jnp.max(x, axis=-2)
+        return jnp.max(jax.lax.all_gather(local, axis_name, axis=0), axis=0)
+    local = jnp.max(jnp.where(mask[..., None], x, neg), axis=-2)
+    g = jnp.max(jax.lax.all_gather(local, axis_name, axis=0), axis=0)
+    any_valid = (
+        jax.lax.psum(jnp.sum(mask.astype(x.dtype), axis=-1), axis_name) > 0
+    )
+    return jnp.where(any_valid[..., None], g, 0.0)
+
+
+def cp_graph_ops(axis_name: str = POINT_AXIS, precision=None) -> GraphOps:
+    """Ring-based kNN / gather / pool bound to a mesh axis."""
+    return GraphOps(
+        knn=lambda x, k, mask: ring_knn(
+            x, k, mask, axis_name=axis_name, precision=precision
+        ),
+        gather=lambda values, idx: ring_gather(values, idx, axis_name=axis_name),
+        pool=lambda x, mask: cp_masked_max_pool(x, mask, axis_name),
+    )

@@ -28,7 +28,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from dgcnn_tpu.io.batching import Batch
 from dgcnn_tpu.models import get_model
-from dgcnn_tpu.parallel.collectives import DATA_AXIS
+from dgcnn_tpu.parallel.collectives import DATA_AXIS, POINT_AXIS
+from dgcnn_tpu.parallel.context_parallel import cp_graph_ops
 from dgcnn_tpu.parallel.mesh import make_mesh
 
 
@@ -53,25 +54,44 @@ class Trainval:
 
     def __init__(self, cfg, mesh=None, knn_fn=None):
         self.cfg = cfg
-        self.mesh = mesh if mesh is not None else make_mesh(cfg.num_devices)
+        point_shards = int(getattr(cfg, "point_shards", 1) or 1)
+        self.mesh = (
+            mesh
+            if mesh is not None
+            else make_mesh(cfg.num_devices, num_point_shards=point_shards)
+        )
         self.num_devices = int(np.prod(self.mesh.devices.shape))
+        self.point_shards = self.mesh.shape[POINT_AXIS]
+        self._cp = self.point_shards > 1
         if cfg.minibatch_size % self.mesh.shape[DATA_AXIS]:
             raise ValueError(
                 f"minibatch_size={cfg.minibatch_size} not divisible by "
                 f"data-parallel devices={self.mesh.shape[DATA_AXIS]}"
             )
-        if knn_fn is None and cfg.use_pallas:
+        precision = _precision_of(cfg.precision)
+        extra_ops = {}
+        if self._cp:
+            # points sharded over the mesh: ring kNN/gather/pool over ICI
+            ops = cp_graph_ops(POINT_AXIS, precision=precision)
+            knn_fn = knn_fn or ops.knn
+            extra_ops = {"gather_fn": ops.gather, "pool_fn": ops.pool}
+        elif knn_fn is None and cfg.use_pallas:
             knn_fn = _maybe_pallas_knn()
         self.model = get_model(
             cfg.model_name,
             cfg.model_spec(),
             knn_fn=knn_fn,
-            precision=_precision_of(cfg.precision),
+            precision=precision,
+            **extra_ops,
         )
         self.opt = _make_optimizer(
             getattr(cfg, "optimizer", "adam"), cfg.learning_rate
         )
-        self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        # reduce over both mesh axes (the points axis is a no-op under
+        # pure DP where its size is 1)
+        self._axes = (DATA_AXIS, POINT_AXIS)
+        self._batch_spec = P(DATA_AXIS, POINT_AXIS)
+        self._batch_sharding = NamedSharding(self.mesh, self._batch_spec)
         self._repl_sharding = NamedSharding(self.mesh, P())
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
@@ -96,12 +116,23 @@ class Trainval:
 
     def _build_train_step(self):
         model, opt = self.model, self.opt
-        bn_axis = DATA_AXIS if self.cfg.bn_sync else None
+        axes = self._axes
+        # under context parallelism BN stats must always merge over the
+        # points axis (a point shard is not a meaningful statistics unit);
+        # the data axis merges only with sync-BN on
+        if self.cfg.bn_sync:
+            bn_axis = axes
+        elif self._cp:
+            bn_axis = (POINT_AXIS,)
+        else:
+            bn_axis = None
 
         def device_step(params, mstate, opt_state, step, rng, points, labels, weights, mask):
-            dev_rng = jax.random.fold_in(
-                jax.random.fold_in(rng, step), jax.lax.axis_index(DATA_AXIS)
+            lin_idx = (
+                jax.lax.axis_index(DATA_AXIS) * jax.lax.axis_size(POINT_AXIS)
+                + jax.lax.axis_index(POINT_AXIS)
             )
+            dev_rng = jax.random.fold_in(jax.random.fold_in(rng, step), lin_idx)
 
             def loss_fn(p):
                 logits, new_mstate = model.apply(
@@ -112,8 +143,8 @@ class Trainval:
                 ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
                 w = weights * mask.astype(logits.dtype)
                 # exact global weighted mean: device-count invariant
-                loss_sum = jax.lax.psum(-jnp.sum(ll * w), DATA_AXIS)
-                w_sum = jax.lax.psum(jnp.sum(w), DATA_AXIS)
+                loss_sum = jax.lax.psum(-jnp.sum(ll * w), axes)
+                w_sum = jax.lax.psum(jnp.sum(w), axes)
                 loss = loss_sum / jnp.maximum(w_sum, 1e-9)
                 pred = jnp.argmax(logits, axis=-1)
                 correct = jnp.sum((pred == labels) * mask)
@@ -132,18 +163,19 @@ class Trainval:
             new_params = optax.apply_updates(params, updates)
             # per-replica batch norm in fwd; running stats synced
             new_mstate = jax.tree_util.tree_map(
-                lambda s: jax.lax.pmean(s, DATA_AXIS), new_mstate
+                lambda s: jax.lax.pmean(s, axes), new_mstate
             )
-            acc = jax.lax.psum(correct, DATA_AXIS) / jnp.maximum(
-                jax.lax.psum(nvalid, DATA_AXIS), 1.0
+            acc = jax.lax.psum(correct, axes) / jnp.maximum(
+                jax.lax.psum(nvalid, axes), 1.0
             )
             metrics = {"loss": loss, "acc": acc.astype(jnp.float32)}
             return new_params, new_mstate, new_opt_state, step + 1, rng, metrics
 
+        bspec = self._batch_spec
         smapped = jax.shard_map(
             device_step,
             mesh=self.mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            in_specs=(P(), P(), P(), P(), P(), bspec, bspec, bspec, bspec),
             out_specs=(P(), P(), P(), P(), P(), P()),
         )
         return jax.jit(smapped, donate_argnums=(0, 1, 2))
@@ -163,6 +195,8 @@ class Trainval:
         model = self.model
         num_class = self.cfg.num_class
 
+        axes = self._axes
+
         def device_eval(params, mstate, points, labels, weights, mask):
             logits, _ = model.apply(params, mstate, points, mask, train=False)
             scores = jax.nn.softmax(logits, axis=-1)
@@ -170,21 +204,22 @@ class Trainval:
             logp = jax.nn.log_softmax(logits, axis=-1)
             ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
             w = weights * mask.astype(logits.dtype)
-            loss_sum = jax.lax.psum(-jnp.sum(ll * w), DATA_AXIS)
-            w_sum = jax.lax.psum(jnp.sum(w), DATA_AXIS)
+            loss_sum = jax.lax.psum(-jnp.sum(ll * w), axes)
+            w_sum = jax.lax.psum(jnp.sum(w), axes)
             cls = jnp.arange(num_class, dtype=jnp.int32)
             m = mask.reshape(-1).astype(jnp.float32)
             t1h = (labels.reshape(-1)[:, None] == cls).astype(jnp.float32) * m[:, None]
             p1h = (pred.reshape(-1)[:, None] == cls).astype(jnp.float32)
-            cm = jax.lax.psum(t1h.T @ p1h, DATA_AXIS)
+            cm = jax.lax.psum(t1h.T @ p1h, axes)
             loss = loss_sum / jnp.maximum(w_sum, 1e-9)
             return scores, pred, loss, cm
 
+        bspec = self._batch_spec
         smapped = jax.shard_map(
             device_eval,
             mesh=self.mesh,
-            in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+            in_specs=(P(), P(), bspec, bspec, bspec, bspec),
+            out_specs=(bspec, bspec, P(), P()),
         )
         return jax.jit(smapped)
 
