@@ -64,10 +64,12 @@ class Config:
     log_dir: str = "log"
     debug: bool = False
     profile_dir: str = ""
+    tensorboard: bool = False
     # TPU-native execution
     num_devices: int = 0  # 0 → all local devices
     point_shards: int = 1  # context parallelism: shard the point axis
     use_pallas: bool = True
+    remat: bool = False  # rematerialize EdgeConv blocks in backward
     precision: str = "default"  # default | highest | bfloat16
 
     def __post_init__(self):
@@ -90,6 +92,10 @@ class Config:
             global_pool=self.global_pool,
             dropout=self.dropout,
             bn_momentum=self.bn_momentum,
+            compute_dtype=(
+                "bfloat16" if self.precision == "bfloat16" else "float32"
+            ),
+            remat=self.remat,
         )
 
     def to_json(self) -> str:
@@ -144,6 +150,8 @@ def _add_common_flags(p: argparse.ArgumentParser):
     g.add_argument("-ld", "--log_dir", default="log")
     g.add_argument("--debug", action="store_true")
     g.add_argument("--profile_dir", default="")
+    g.add_argument("--tensorboard", action="store_true",
+                   help="also write TensorBoard scalar summaries")
 
     g = p.add_argument_group("tpu")
     g.add_argument("-nd", "--num_devices", type=int, default=0,
@@ -154,6 +162,9 @@ def _add_common_flags(p: argparse.ArgumentParser):
     g.add_argument("--no_pallas", dest="use_pallas", action="store_false")
     g.add_argument("--precision", default="default",
                    choices=["default", "highest", "bfloat16"])
+    g.add_argument("--remat", action="store_true",
+                   help="recompute each EdgeConv block in backward "
+                   "(trade FLOPs for HBM at large NUM_POINT)")
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -28,11 +28,16 @@ def dense_init(rng, din: int, dout: int, dtype=jnp.float32, bias: bool = True):
     return p
 
 
-def dense_apply(params, x, *, precision=None):
-    """1x1 conv == dense over the trailing channel axis."""
-    y = jnp.einsum("...c,cd->...d", x, params["w"], precision=precision)
+def dense_apply(params, x, *, precision=None, dtype=None):
+    """1x1 conv == dense over the trailing channel axis.
+
+    ``dtype``: cast the weights to this compute dtype (mixed precision —
+    master params stay f32, the matmul runs in e.g. bf16).
+    """
+    w = params["w"] if dtype is None else params["w"].astype(dtype)
+    y = jnp.einsum("...c,cd->...d", x, w, precision=precision)
     if "b" in params:
-        y = y + params["b"]
+        y = y + params["b"].astype(y.dtype)
     return y
 
 
@@ -58,9 +63,10 @@ def conv_bn_apply(
     activation=jax.nn.relu,
     precision=None,
     axis_name=None,
+    dtype=None,
 ):
     """dense → BN → activation; returns (y, new_bn_state)."""
-    y = dense_apply(params, x, precision=precision)
+    y = dense_apply(params, x, precision=precision, dtype=dtype)
     y, new_state = batch_norm_apply(
         {"scale": params["bn"]["scale"], "bias": params["bn"]["bias"]},
         state,

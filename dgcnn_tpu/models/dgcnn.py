@@ -51,6 +51,11 @@ class ModelSpec:
     global_pool: bool = True
     dropout: float = 0.0
     bn_momentum: float = 0.9
+    compute_dtype: str = "float32"  # "bfloat16": bf16 activations/matmuls,
+    #                                  f32 params, BN stats and logits
+    remat: bool = False  # jax.checkpoint each EdgeConv block: recompute
+    #                      the dynamic graph + edge tensor in backward
+    #                      instead of keeping (B,N,k,C) residuals in HBM
 
     @property
     def num_edge_conv(self) -> int:
@@ -145,18 +150,20 @@ def make_model(
 
         Returns (logits (B, N, num_class), new_state).
         """
-        x = points
+        cdtype = jnp.dtype(spec.compute_dtype)
+        x = points.astype(cdtype)
         new_state = {"blocks": [], "head": {}}
         block_feats = []
         edge_mask = None if mask is None else mask  # (B, N) → broadcasts over k
 
-        for blk_p, blk_s in zip(params["blocks"], state["blocks"]):
+        def block_fn(x, blk_p, blk_s):
             idx, _ = _knn(x, spec.k, mask)
             # factorized EdgeConv pre-activation h_ij = P_i + Q_j (see
             # ops.edge.edge_preact_factorized — inlined here so the gather
             # is pluggable for context parallelism); no bias: BN follows
             c = x.shape[-1]
-            wa, wb = blk_p["w"][:c], blk_p["w"][c:]
+            w = blk_p["w"].astype(cdtype)
+            wa, wb = w[:c], w[c:]
             p_feat = jnp.einsum("...nc,cd->...nd", x, wa - wb, precision=precision)
             q_feat = jnp.einsum("...nc,cd->...nd", x, wb, precision=precision)
             h = p_feat[..., :, None, :] + _gather(q_feat, idx)  # (B,N,k,C_out)
@@ -174,11 +181,21 @@ def make_model(
             y = jnp.max(jax.nn.relu(h), axis=-2)  # aggregate over k
             if spec.residual:
                 shortcut = (
-                    dense_apply(blk_p["proj"], x, precision=precision)
+                    dense_apply(blk_p["proj"], x, precision=precision, dtype=cdtype)
                     if "proj" in blk_p
                     else x
                 )
                 y = y + shortcut
+            return y, bn_s
+
+        if spec.remat:
+            # recompute the dynamic graph + (B,N,k,C) edge tensor in the
+            # backward pass instead of holding them in HBM — BASELINE's
+            # "on-chip dynamic graph recompute per layer"
+            block_fn = jax.checkpoint(block_fn)
+
+        for blk_p, blk_s in zip(params["blocks"], state["blocks"]):
+            y, bn_s = block_fn(x, blk_p, blk_s)
             new_state["blocks"].append(bn_s)
             block_feats.append(y)
             x = y
@@ -193,6 +210,7 @@ def make_model(
             momentum=spec.bn_momentum,
             precision=precision,
             axis_name=bn_axis,
+            dtype=cdtype,
         )
         new_state["head"]["feat"] = feat_s
 
@@ -212,12 +230,15 @@ def make_model(
         for p, s in zip(params["head"]["mlp"], state["head"]["mlp"]):
             h, s2 = conv_bn_apply(
                 p, s, h, mask, train=train, momentum=spec.bn_momentum,
-                precision=precision, axis_name=bn_axis,
+                precision=precision, axis_name=bn_axis, dtype=cdtype,
             )
             h = dropout(next(keys), h, spec.dropout, train=train)
             new_state["head"]["mlp"].append(s2)
 
-        logits = dense_apply(params["head"]["out"], h, precision=precision)
-        return logits, new_state
+        logits = dense_apply(
+            params["head"]["out"], h, precision=precision, dtype=cdtype
+        )
+        # losses/metrics always see f32 logits
+        return logits.astype(jnp.float32), new_state
 
     return Model(init=init, apply=apply, spec=spec)

@@ -60,6 +60,9 @@ def batch_norm_apply(
     Returns:
       ``(y, new_state)``.
     """
+    out_dtype = x.dtype
+    # statistics always accumulate in f32 (bf16 sums overflow/lose bits)
+    x = x.astype(jnp.float32)
     if train:
         axes = tuple(range(x.ndim - 1))
         if mask is None:
@@ -86,4 +89,4 @@ def batch_norm_apply(
         mean, var = state["mean"], state["var"]
         new_state = state
     y = (x - mean) * jax.lax.rsqrt(var + eps) * params["scale"] + params["bias"]
-    return y, new_state
+    return y.astype(out_dtype), new_state

@@ -43,12 +43,25 @@ class CSVData:
 
 
 class Reporter:
-    """stdout report lines + CSV, with wall-clock per-iteration timing."""
+    """stdout report lines + CSV (+ optional TensorBoard scalars).
 
-    def __init__(self, log_dir: str, name: str = "train"):
+    TensorBoard covers the reference's `tf.summary` role [M per SURVEY.md
+    §2 #9]; it uses torch.utils.tensorboard when available and degrades
+    to CSV-only otherwise.
+    """
+
+    def __init__(self, log_dir: str, name: str = "train", tensorboard: bool = False):
         self.csv = CSVData(os.path.join(log_dir, f"{name}_log.csv"))
         self._t_last = time.perf_counter()
         self._iter_last = 0
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(log_dir, f"{name}_tb"))
+            except Exception as e:  # keep training; CSV still records
+                print(f"tensorboard writer unavailable: {e}", file=sys.stderr)
 
     def report(self, iteration: int, epoch: float, metrics: dict):
         now = time.perf_counter()
@@ -59,6 +72,10 @@ class Reporter:
         row.update({k: float(v) for k, v in metrics.items()})
         row["titer"] = t_iter
         self.csv.write(row)
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(k, float(v), iteration)
+            self._tb.add_scalar("titer", t_iter, iteration)
         parts = " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
         print(
             f"iter {iteration} epoch {epoch:.2f} {parts} t/iter {t_iter*1e3:.1f} ms",
@@ -67,6 +84,8 @@ class Reporter:
 
     def close(self):
         self.csv.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def maybe_start_profiler(profile_dir: str):

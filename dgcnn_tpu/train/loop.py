@@ -18,6 +18,19 @@ from dgcnn_tpu.train.logging import Reporter, maybe_start_profiler, maybe_stop_p
 from dgcnn_tpu.train.trainval import Trainval
 
 
+def _flatten_metrics(metrics: dict) -> dict:
+    """Expand vector metrics (per-class accuracy) into scalar columns."""
+    out = {}
+    for k, v in metrics.items():
+        arr = np.asarray(v)
+        if arr.ndim == 0:
+            out[k] = float(arr)
+        else:
+            for i, x in enumerate(arr.ravel()):
+                out[f"{k}{i}"] = float(x)
+    return out
+
+
 def _build_io(cfg, shuffle: bool):
     io = io_factory(cfg).initialize()
     batcher = BucketBatcher(
@@ -43,7 +56,7 @@ def train(cfg) -> dict:
         state = state._replace(step=jax.numpy.asarray(start_step, jax.numpy.int32))
         print(f"restored checkpoint at step {start_step}", flush=True)
 
-    reporter = Reporter(cfg.log_dir, "train")
+    reporter = Reporter(cfg.log_dir, "train", tensorboard=cfg.tensorboard)
     prof = maybe_start_profiler(cfg.profile_dir)
     events_per_epoch = max(io.num_events(), 1)
     metrics = {}
@@ -57,7 +70,7 @@ def train(cfg) -> dict:
             it += 1
             if it % cfg.report_step == 0 or it == cfg.iteration or cfg.debug:
                 epoch = it * cfg.minibatch_size / events_per_epoch
-                reporter.report(it, epoch, metrics)
+                reporter.report(it, epoch, _flatten_metrics(metrics))
             if cfg.checkpoint_step and it % cfg.checkpoint_step == 0:
                 checkpoint.save(cfg.weight_prefix, it, state, vars(cfg))
         path = checkpoint.save(cfg.weight_prefix, it, state, vars(cfg))
@@ -66,7 +79,7 @@ def train(cfg) -> dict:
         maybe_stop_profiler(prof)
         reporter.close()
         io.finalize()
-    return {k: float(v) for k, v in metrics.items()}
+    return _flatten_metrics(metrics)
 
 
 def inference(cfg) -> dict:
@@ -80,7 +93,7 @@ def inference(cfg) -> dict:
     print(f"restored checkpoint at step {step}", flush=True)
 
     writer = SegmentWriter(cfg.output_file) if cfg.output_file else None
-    reporter = Reporter(cfg.log_dir, "inference")
+    reporter = Reporter(cfg.log_dir, "inference", tensorboard=cfg.tensorboard)
     cm_total = np.zeros((cfg.num_class, cfg.num_class), np.float64)
     n_batches = 0
     t0 = time.perf_counter()

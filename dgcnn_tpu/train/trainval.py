@@ -117,6 +117,7 @@ class Trainval:
     def _build_train_step(self):
         model, opt = self.model, self.opt
         axes = self._axes
+        num_class = self.cfg.num_class
         # under context parallelism BN stats must always merge over the
         # points axis (a point shard is not a meaningful statistics unit);
         # the data axis merges only with sync-BN on
@@ -149,11 +150,21 @@ class Trainval:
                 pred = jnp.argmax(logits, axis=-1)
                 correct = jnp.sum((pred == labels) * mask)
                 nvalid = jnp.sum(mask)
-                return loss, (new_mstate, correct, nvalid)
+                # per-class counts for the report line (reference prints
+                # per-class/nonzero accuracies at report steps [M per
+                # SURVEY.md §0.6 #8])
+                cls = jnp.arange(num_class, dtype=jnp.int32)
+                is_cls = (labels[..., None] == cls) & mask[..., None]
+                cls_total = jnp.sum(is_cls, axis=tuple(range(labels.ndim)))
+                cls_correct = jnp.sum(
+                    is_cls & (pred == labels)[..., None],
+                    axis=tuple(range(labels.ndim)),
+                )
+                return loss, (new_mstate, correct, nvalid, cls_correct, cls_total)
 
-            (loss, (new_mstate, correct, nvalid)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params)
+            (loss, (new_mstate, correct, nvalid, cls_correct, cls_total)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(params)
+            )
             # params are replicated (unvarying) inputs, so shard_map's AD
             # inserts the cross-device psum itself: `grads` is already the
             # full global gradient on every device (the tower-average
@@ -168,7 +179,14 @@ class Trainval:
             acc = jax.lax.psum(correct, axes) / jnp.maximum(
                 jax.lax.psum(nvalid, axes), 1.0
             )
-            metrics = {"loss": loss, "acc": acc.astype(jnp.float32)}
+            cls_acc = jax.lax.psum(cls_correct, axes) / jnp.maximum(
+                jax.lax.psum(cls_total, axes), 1.0
+            )
+            metrics = {
+                "loss": loss,
+                "acc": acc.astype(jnp.float32),
+                "class_acc": cls_acc.astype(jnp.float32),
+            }
             return new_params, new_mstate, new_opt_state, step + 1, rng, metrics
 
         bspec = self._batch_spec
