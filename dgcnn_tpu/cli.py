@@ -14,6 +14,15 @@ from dgcnn_tpu.config import parse_args
 def main(argv=None):
     cfg = parse_args(argv)
     # import jax lazily so `--help` never touches the TPU runtime
+    from dgcnn_tpu.utils.distributed import maybe_initialize_distributed
+
+    if maybe_initialize_distributed():
+        import jax
+
+        print(
+            f"multi-host: process {jax.process_index()}/{jax.process_count()}",
+            flush=True,
+        )
     from dgcnn_tpu.train.loop import inference, train
 
     if cfg.command == "train":
