@@ -49,9 +49,11 @@ class Config:
     learning_rate: float = 1e-3
     optimizer: str = "adam"  # adam | adamw | sgd | momentum
     # io
-    io_type: str = "h5"  # h5 | npz | csv | synthetic
+    io_type: str = "h5"  # h5 | npz | csv | dgb | synthetic
     input_file: str = ""
     output_file: str = ""
+    val_file: str = ""  # held-out events; evaluated at report steps
+    val_batches: int = 4
     data_key: str = "data"
     label_key: str = "label"
     weight_key: str = ""
@@ -131,6 +133,9 @@ def _add_common_flags(p: argparse.ArgumentParser):
                    choices=["h5", "npz", "csv", "dgb", "synthetic"])
     g.add_argument("-if", "--input_file", default="")
     g.add_argument("-of", "--output_file", default="")
+    g.add_argument("-vf", "--val_file", default="",
+                   help="held-out event file; evaluated at report steps")
+    g.add_argument("--val_batches", type=int, default=4)
     g.add_argument("--data_key", default="data")
     g.add_argument("--label_key", default="label")
     g.add_argument("--weight_key", default="")

@@ -45,11 +45,50 @@ def _build_io(cfg, shuffle: bool):
     return io, batcher, in_dim
 
 
+def _make_validator(cfg, tv):
+    """Periodic held-out evaluation (beyond the reference, which reports
+    train-batch metrics only): returns a callable state -> metrics dict."""
+    if not cfg.val_file:
+        return None
+    import dataclasses
+
+    val_cfg = dataclasses.replace(cfg, input_file=cfg.val_file)
+    val_io = io_factory(val_cfg).initialize()
+    val_batcher = BucketBatcher(
+        val_io,
+        batch_size=cfg.minibatch_size,
+        buckets=cfg.buckets,
+        num_point=cfg.num_point,
+        shuffle=False,
+        seed=cfg.seed,
+    )
+
+    def validate(state):
+        cm = np.zeros((cfg.num_class, cfg.num_class), np.float64)
+        loss_sum = n = 0
+        for i, batch in enumerate(val_batcher.epoch()):
+            if cfg.val_batches and i >= cfg.val_batches:
+                break
+            _, _, m = tv.inference(state, batch)
+            cm += np.asarray(m["confusion"], np.float64)
+            loss_sum += float(m["loss"])
+            n += 1
+        acc = float(np.trace(cm) / max(cm.sum(), 1.0))
+        return {
+            "val_loss": loss_sum / max(n, 1),
+            "val_acc": acc,
+            "val_miou": float(mean_iou(cm)),
+        }
+
+    return validate
+
+
 def train(cfg) -> dict:
     """Train per the flag surface; returns final metrics (for tests)."""
     io, batcher, in_dim = _build_io(cfg, shuffle=cfg.shuffle)
     tv = Trainval(cfg)
     state = tv.initialize(in_dim)
+    validator = _make_validator(cfg, tv)
     start_step = 0
     if cfg.model_path:
         state, start_step, _ = checkpoint.restore(cfg.model_path, state)
@@ -70,7 +109,10 @@ def train(cfg) -> dict:
             it += 1
             if it % cfg.report_step == 0 or it == cfg.iteration or cfg.debug:
                 epoch = it * cfg.minibatch_size / events_per_epoch
-                reporter.report(it, epoch, _flatten_metrics(metrics))
+                row = _flatten_metrics(metrics)
+                if validator is not None:
+                    row.update(validator(state))
+                reporter.report(it, epoch, row)
             if cfg.checkpoint_step and it % cfg.checkpoint_step == 0:
                 checkpoint.save(cfg.weight_prefix, it, state, vars(cfg))
         path = checkpoint.save(cfg.weight_prefix, it, state, vars(cfg))
