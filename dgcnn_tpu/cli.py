@@ -13,6 +13,12 @@ from dgcnn_tpu.config import parse_args
 
 def main(argv=None):
     cfg = parse_args(argv)
+    try:
+        cfg.validate()
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(f"dgcnn_tpu {cfg.command} configuration:\n{cfg.summary()}", flush=True)
     # import jax lazily so `--help` never touches the TPU runtime
     from dgcnn_tpu.utils.distributed import maybe_initialize_distributed
 

@@ -100,6 +100,31 @@ class Config:
             remat=self.remat,
         )
 
+    def validate(self):
+        """Fail fast on inconsistent flags (before any compilation)."""
+        if self.kvalue < 1:
+            raise ValueError(f"KVALUE must be >= 1, got {self.kvalue}")
+        min_n = self.num_point or (min(self.buckets) if self.buckets else 0)
+        if min_n and self.kvalue > min_n:
+            raise ValueError(
+                f"KVALUE={self.kvalue} exceeds the smallest padded event "
+                f"size {min_n} (num_point/buckets)"
+            )
+        if self.minibatch_size < 1:
+            raise ValueError("MINIBATCH_SIZE must be >= 1")
+        if self.num_class < 2:
+            raise ValueError(f"NUM_CLASS must be >= 2, got {self.num_class}")
+        if self.point_shards < 1:
+            raise ValueError("point_shards must be >= 1")
+        if self.command == "inference" and not self.model_path:
+            raise ValueError("inference requires --model_path")
+        return self
+
+    def summary(self) -> str:
+        """One flag per line, reference-style startup echo."""
+        d = dataclasses.asdict(self)
+        return "\n".join(f"  {k:18s} = {d[k]}" for k in sorted(d))
+
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=list)
 
