@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Decompose the flagship train-step time into stages.
+
+Times, at the bench config (6x64 residual DGCNN, k=20, N from BENCH_N):
+  1. kNN only (6 dynamic-graph builds)
+  2. full forward
+  3. full forward+backward+optimizer (the bench.py number)
+and prints a stage table — the data that decides which kernel to build
+next (e.g. whether the gather/aggregate path warrants a fused kernel).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgcnn_tpu.config import Config
+from dgcnn_tpu.io import BucketBatcher, SyntheticIO
+from dgcnn_tpu.parallel.mesh import make_mesh
+from dgcnn_tpu.train import Trainval
+
+N = int(os.environ.get("BENCH_N", 16384))
+B = int(os.environ.get("BENCH_B", 1))
+USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
+
+
+def sync(x):
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.ravel()[0])
+
+
+def timeit(name, f, *args, iters=5):
+    r = f(*args)
+    sync(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = f(*args)
+    sync(r)
+    dt = (time.perf_counter() - t0) / iters * 1e3
+    print(f"{name:34s} {dt:9.2f} ms", flush=True)
+    return dt
+
+
+def main():
+    cfg = Config(
+        model_name="residual-dgcnn",
+        num_class=2,
+        kvalue=20,
+        edge_filters=(64,) * 6,
+        minibatch_size=B,
+        num_point=N,
+        use_pallas=USE_PALLAS,
+    )
+    tv = Trainval(cfg, mesh=make_mesh(1))
+    state = tv.initialize(4)
+    io = SyntheticIO(num_events=B, num_point=N, seed=0, variable_length=False).initialize()
+    batch = next(BucketBatcher(io, B, num_point=N, shuffle=False).epoch())
+    points, labels, weights, mask = tv._put_batch(batch)
+    model = tv.model
+    k = cfg.kvalue
+
+    if USE_PALLAS:
+        from dgcnn_tpu.kernels.knn_pallas import knn_pallas
+
+        knn = lambda x, m: knn_pallas(x, k, m)
+    else:
+        from dgcnn_tpu.ops.knn import knn_indices
+
+        knn = lambda x, m: knn_indices(x, k, m)
+
+    @jax.jit
+    def six_knn(x, m):
+        # six graph builds on the same features — isolates kNN cost
+        out = []
+        for i in range(6):
+            out.append(knn(x + float(i), m)[0])
+        return out
+
+    @jax.jit
+    def fwd(params, mstate, x, m):
+        logits, _ = model.apply(params, mstate, x, m, train=True)
+        return logits
+
+    timeit("6x kNN (graph builds only)", six_knn, points, mask)
+    timeit("full forward (train mode)", fwd, state.params, state.model_state, points, mask)
+
+    def step(state):
+        s, metrics = tv.train_step(state, batch)
+        return s, metrics
+
+    # train_step manages its own jit; measure through the public API
+    s, m = step(state)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        s, m = step(s)
+    float(m["loss"])
+    print(f"{'train step (fwd+bwd+opt)':34s} {(time.perf_counter()-t0)/iters*1e3:9.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

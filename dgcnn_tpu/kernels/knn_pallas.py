@@ -210,7 +210,7 @@ def knn_pallas(
     mask=None,
     *,
     block_q: int = 256,
-    block_t: int = 1024,
+    block_t: int = 2048,
     interpret: bool | None = None,
     precision=jax.lax.Precision.HIGHEST,
 ):
