@@ -50,7 +50,13 @@ NEG_INF = float(np.finfo(np.float32).min)
 
 
 def _knn_kernel(qa_ref, ka_ref, idx_ref, val_ref, topv_s, topi_s, *, k, block_t, precision):
-    """One (batch, query-block, key-tile) program."""
+    """One (batch, query-block, key-tile) program.
+
+    The running top-k lives transposed as (k, QB): queries on the lane
+    dimension keep every list operation lane-full (a (QB, k=20) layout
+    would waste 108 of 128 lanes per op), and the final store needs no
+    transpose (outputs are (k, N)).
+    """
     t = pl.program_id(2)
     num_tiles = pl.num_programs(2)
     qa = qa_ref[0]  # (QB, Cp)
@@ -58,8 +64,8 @@ def _knn_kernel(qa_ref, ka_ref, idx_ref, val_ref, topv_s, topi_s, *, k, block_t,
 
     @pl.when(t == 0)
     def _():
-        topv_s[:] = jnp.full((qb, k), NEG_INF, jnp.float32)
-        topi_s[:] = jnp.zeros((qb, k), jnp.int32)
+        topv_s[:] = jnp.full((k, qb), NEG_INF, jnp.float32)
+        topi_s[:] = jnp.zeros((k, qb), jnp.int32)
 
     scores = jax.lax.dot_general(
         qa,
@@ -69,36 +75,38 @@ def _knn_kernel(qa_ref, ka_ref, idx_ref, val_ref, topv_s, topi_s, *, k, block_t,
         precision=precision,
     )  # (QB, T)
     cols = jax.lax.broadcasted_iota(jnp.int32, (qb, block_t), 1)
-    kio = jax.lax.broadcasted_iota(jnp.int32, (qb, k), 1)
+    kio = jax.lax.broadcasted_iota(jnp.int32, (k, qb), 0)
     tile_base = t * block_t
 
     def pass_cond(c):
         s, topv, _, scores = c
-        worst = jnp.min(topv, axis=1)  # sorted desc → worst is the min
+        worst = topv[k - 1]  # sorted desc → last row is the worst; (QB,)
         can_enter = jnp.any(jnp.max(scores, axis=1) > worst)
         return jnp.logical_and(s < k, can_enter)
 
     def pass_body(c):
         s, topv, topi, scores = c
-        m = jnp.max(scores, axis=1, keepdims=True)  # (QB, 1)
+        m_col = jnp.max(scores, axis=1, keepdims=True)  # (QB, 1)
         # lowest column index among the maxima — lax.top_k tie order
-        arg = jnp.min(
-            jnp.where(scores == m, cols, jnp.int32(2**30)),
+        arg_col = jnp.min(
+            jnp.where(scores == m_col, cols, jnp.int32(2**30)),
             axis=1,
             keepdims=True,
         )
-        gidx = arg + tile_base
         # knock the extracted element out of the tile
-        scores = jnp.where(cols == arg, NEG_INF, scores)
+        scores = jnp.where(cols == arg_col, NEG_INF, scores)
+        # lists are (k, QB): broadcast the candidate over the k sublanes
+        m = m_col.T  # (1, QB)
+        gidx = arg_col.T + tile_base
         # sorted insert (descending values; `>=` places a new entry after
         # its equals, preserving index-ascending tie order)
-        pos = jnp.sum((topv >= m).astype(jnp.int32), axis=1, keepdims=True)
-        rolled_v = pltpu.roll(topv, 1, axis=1)
-        rolled_i = pltpu.roll(topi, 1, axis=1)
+        pos = jnp.sum((topv >= m).astype(jnp.int32), axis=0, keepdims=True)
+        rolled_v = pltpu.roll(topv, 1, axis=0)
+        rolled_i = pltpu.roll(topi, 1, axis=0)
         new_v = jnp.where(kio < pos, topv, jnp.where(kio == pos, m, rolled_v))
         new_i = jnp.where(kio < pos, topi, jnp.where(kio == pos, gidx, rolled_i))
         # rows whose max can no longer enter keep their list unchanged
-        enter = m > jnp.min(topv, axis=1, keepdims=True)
+        enter = m > topv[k - 1 : k]  # (1, QB)
         new_v = jnp.where(enter, new_v, topv)
         new_i = jnp.where(enter, new_i, topi)
         return s + 1, new_v, new_i, scores
@@ -111,8 +119,8 @@ def _knn_kernel(qa_ref, ka_ref, idx_ref, val_ref, topv_s, topi_s, *, k, block_t,
 
     @pl.when(t == num_tiles - 1)
     def _():
-        idx_ref[0] = topi.T  # (k, QB)
-        val_ref[0] = topv.T
+        idx_ref[0] = topi  # already (k, QB)
+        val_ref[0] = topv
 
 
 def _round_up(x: int, m: int) -> int:
@@ -191,8 +199,8 @@ def _knn_pallas_call(x, mask, *, k, block_q, block_t, interpret, precision):
             jax.ShapeDtypeStruct((b, k, n_pad), jnp.float32, vma=_vma(qa)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, k), jnp.float32),
-            pltpu.VMEM((block_q, k), jnp.int32),
+            pltpu.VMEM((k, block_q), jnp.float32),
+            pltpu.VMEM((k, block_q), jnp.int32),
         ],
         interpret=interpret,
     )(qa, ka)
@@ -210,7 +218,7 @@ def knn_pallas(
     mask=None,
     *,
     block_q: int = 256,
-    block_t: int = 2048,
+    block_t: int = 1024,
     interpret: bool | None = None,
     precision=jax.lax.Precision.HIGHEST,
 ):
