@@ -155,7 +155,7 @@ def _add_common_flags(p: argparse.ArgumentParser):
 
     g = p.add_argument_group("io")
     g.add_argument("-io", "--io_type", default="h5",
-                   choices=["h5", "npz", "csv", "dgb", "synthetic"])
+                   choices=["h5", "npz", "csv", "dgb", "larcv", "synthetic"])
     g.add_argument("-if", "--input_file", default="")
     g.add_argument("-of", "--output_file", default="")
     g.add_argument("-vf", "--val_file", default="",

@@ -210,6 +210,16 @@ def io_factory(cfg) -> IOBase:
         raise ValueError(f"io_type={kind!r} requires --input_file")
     if not os.path.exists(cfg.input_file):
         raise FileNotFoundError(cfg.input_file)
+    if kind == "larcv":
+        # the reference reads LArTPC events via the larcv C++/ROOT library
+        # [H per SURVEY.md §2.1]; ROOT is not part of this runtime by
+        # design — dump once offline, train on the canonical formats
+        raise ValueError(
+            "io_type=larcv: ROOT files are not read directly. Dump the "
+            "events to CSV with larcv tooling, then convert once:\n"
+            "  python -m dgcnn_tpu.io.convert csv2dgb dump.csv events.dgb\n"
+            "and train with -io dgb -if events.dgb (or csv2h5 / csv2npz)."
+        )
     if kind == "dgb":
         from dgcnn_tpu.io.dgb import DGBIO
 
