@@ -35,6 +35,10 @@ def main(argv=None):
         train(cfg)
     elif cfg.command == "inference":
         inference(cfg)
+    elif cfg.command == "export":
+        from dgcnn_tpu.train.export import run_export
+
+        run_export(cfg)
     else:  # pragma: no cover — argparse enforces the choices
         raise SystemExit(f"unknown command {cfg.command!r}")
     return 0

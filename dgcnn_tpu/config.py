@@ -48,6 +48,10 @@ class Config:
     seed: int = 123
     learning_rate: float = 1e-3
     optimizer: str = "adam"  # adam | adamw | sgd | momentum
+    lr_schedule: str = "constant"  # constant | cosine | step
+    lr_decay_steps: int = 0  # cosine horizon / step period (0 → iteration)
+    lr_decay_rate: float = 0.5  # step decay factor
+    auto_resume: bool = False  # resume from latest weight_prefix ckpt
     # io
     io_type: str = "h5"  # h5 | npz | csv | dgb | synthetic
     input_file: str = ""
@@ -118,6 +122,15 @@ class Config:
             raise ValueError("point_shards must be >= 1")
         if self.command == "inference" and not self.model_path:
             raise ValueError("inference requires --model_path")
+        if self.command == "export":
+            if not self.model_path:
+                raise ValueError("export requires --model_path")
+            if not self.output_file:
+                raise ValueError("export requires --output_file")
+            if self.num_point <= 0:
+                raise ValueError(
+                    "export requires --num_point (static serving shape)"
+                )
         return self
 
     def summary(self) -> str:
@@ -212,11 +225,24 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("-lr", "--learning_rate", type=float, default=1e-3)
     tr.add_argument("-opt", "--optimizer", default="adam",
                     choices=["adam", "adamw", "sgd", "momentum"])
+    tr.add_argument("--lr_schedule", default="constant",
+                    choices=["constant", "cosine", "step"])
+    tr.add_argument("--lr_decay_steps", type=int, default=0,
+                    help="cosine horizon / step period (0 = --iteration)")
+    tr.add_argument("--lr_decay_rate", type=float, default=0.5)
+    tr.add_argument("--auto_resume", action="store_true",
+                    help="resume from the latest weight_prefix checkpoint "
+                    "if one exists (preemption-friendly)")
 
     inf = sub.add_parser("inference", help="run inference + write-back")
     _add_common_flags(inf)
     inf.add_argument("-i", "--iteration", type=int, default=0,
                      help="max batches (0 = whole input file)")
+
+    exp = sub.add_parser(
+        "export", help="serialize a checkpoint to a serving artifact"
+    )
+    _add_common_flags(exp)
     return p
 
 

@@ -1,0 +1,86 @@
+"""Serving export: serialize the inference function to a StableHLO artifact.
+
+Goes beyond the reference (which serves by rebuilding the TF graph +
+Saver.restore): `export_model` bakes a trained checkpoint into a
+self-contained `jax.export` artifact — fixed input shapes, params as
+constants — that any process with jaxlib can deserialize and call
+without the dgcnn_tpu package or the checkpoint file. CLI:
+
+  python -m dgcnn_tpu export -mp weights/snap -np 4096 -of model.jaxir
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jexport
+
+
+def export_model(cfg, state, in_dim: int = 4, batch: int = 1):
+    """Serialize eval-mode inference at fixed (batch, num_point, in_dim).
+
+    Returns the serialized bytes. The callable signature of the artifact
+    is ``(points f32[B,N,F], mask bool[B,N]) -> scores f32[B,N,C]``.
+    """
+    from dgcnn_tpu.models import get_model
+
+    if cfg.num_point <= 0:
+        raise ValueError("export requires --num_point (static serving shape)")
+    n = cfg.num_point
+    model = get_model(cfg.model_name, cfg.model_spec())
+    params, mstate = state.params, state.model_state
+
+    def serve(points, mask):
+        logits, _ = model.apply(params, mstate, points, mask, train=False)
+        return jax.nn.softmax(logits, axis=-1)
+
+    exp = jexport.export(jax.jit(serve))(
+        jax.ShapeDtypeStruct((batch, n, in_dim), jnp.float32),
+        jax.ShapeDtypeStruct((batch, n), jnp.bool_),
+    )
+    return exp.serialize()
+
+
+def load_exported(path_or_bytes):
+    """Deserialize an exported artifact; returns a callable
+    (points, mask) -> scores."""
+    data = (
+        path_or_bytes
+        if isinstance(path_or_bytes, (bytes, bytearray))
+        else open(path_or_bytes, "rb").read()
+    )
+    exp = jexport.deserialize(data)
+    return lambda points, mask: exp.call(points, mask)
+
+
+def run_export(cfg) -> str:
+    """CLI driver: restore checkpoint → export → write artifact file."""
+    import types
+
+    from dgcnn_tpu.models import get_model
+    from dgcnn_tpu.train import checkpoint
+
+    if not cfg.model_path:
+        raise ValueError("export requires --model_path")
+    if not cfg.output_file:
+        raise ValueError("export requires --output_file")
+    # only params + BN state matter for serving — optimizer/schedule flags
+    # of the original run are irrelevant here
+    model = get_model(cfg.model_name, cfg.model_spec())
+    params0, mstate0 = model.init(jax.random.PRNGKey(0), 4)
+    loaded, step, _ = checkpoint.restore_subtrees(
+        cfg.model_path, {"params": params0, "model_state": mstate0}
+    )
+    state = types.SimpleNamespace(
+        params=loaded["params"], model_state=loaded["model_state"]
+    )
+    blob = export_model(cfg, state, in_dim=4, batch=cfg.minibatch_size)
+    with open(cfg.output_file, "wb") as f:
+        f.write(blob)
+    print(
+        f"exported step-{step} model ({len(blob)/1e6:.2f} MB, shapes "
+        f"[{cfg.minibatch_size},{cfg.num_point},4]) -> {cfg.output_file}",
+        flush=True,
+    )
+    return cfg.output_file

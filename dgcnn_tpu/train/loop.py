@@ -90,8 +90,11 @@ def train(cfg) -> dict:
     state = tv.initialize(in_dim)
     validator = _make_validator(cfg, tv)
     start_step = 0
-    if cfg.model_path:
-        state, start_step, _ = checkpoint.restore(cfg.model_path, state)
+    restore_from = cfg.model_path
+    if not restore_from and getattr(cfg, "auto_resume", False):
+        restore_from = checkpoint.latest(cfg.weight_prefix) or ""
+    if restore_from:
+        state, start_step, _ = checkpoint.restore(restore_from, state)
         state = state._replace(step=jax.numpy.asarray(start_step, jax.numpy.int32))
         print(f"restored checkpoint at step {start_step}", flush=True)
 

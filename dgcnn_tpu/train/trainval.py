@@ -85,7 +85,8 @@ class Trainval:
             **extra_ops,
         )
         self.opt = _make_optimizer(
-            getattr(cfg, "optimizer", "adam"), cfg.learning_rate
+            getattr(cfg, "optimizer", "adam"),
+            _make_lr(cfg),
         )
         # reduce over both mesh axes (the points axis is a no-op under
         # pure DP where its size is 1)
@@ -272,7 +273,26 @@ class Trainval:
         )
 
 
-def _make_optimizer(name: str, lr: float):
+def _make_lr(cfg):
+    """Learning-rate schedule (constant matches the reference)."""
+    kind = getattr(cfg, "lr_schedule", "constant")
+    base = cfg.learning_rate
+    horizon = getattr(cfg, "lr_decay_steps", 0) or max(cfg.iteration, 1)
+    if kind == "constant":
+        return base
+    if kind == "cosine":
+        return optax.cosine_decay_schedule(base, decay_steps=horizon)
+    if kind == "step":
+        return optax.exponential_decay(
+            base,
+            transition_steps=horizon,
+            decay_rate=getattr(cfg, "lr_decay_rate", 0.5),
+            staircase=True,
+        )
+    raise ValueError(f"unknown lr_schedule {kind!r}")
+
+
+def _make_optimizer(name: str, lr):
     """Reference uses Adam [H per SURVEY.md §2 #4]; others for experiments."""
     if name == "adam":
         return optax.adam(lr)

@@ -1,0 +1,67 @@
+"""Serving export: artifact round-trip matches live inference."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgcnn_tpu.config import Config
+from dgcnn_tpu.train import checkpoint
+from dgcnn_tpu.train.export import export_model, load_exported, run_export
+from dgcnn_tpu.train.loop import train
+
+SMALL = dict(
+    io_type="synthetic",
+    num_class=2,
+    kvalue=6,
+    edge_filters=(8,),
+    head_feat_dim=16,
+    head_mlp=(16,),
+    minibatch_size=2,
+    num_point=128,
+    num_devices=1,
+    use_pallas=False,
+    precision="highest",
+    seed=4,
+)
+
+
+def test_export_roundtrip_matches_live(tmp_path):
+    cfg = Config(
+        command="train",
+        iteration=6,
+        report_step=6,
+        checkpoint_step=0,
+        weight_prefix=str(tmp_path / "w/s"),
+        log_dir=str(tmp_path / "log"),
+        **SMALL,
+    )
+    train(cfg)
+
+    exp_cfg = dataclasses.replace(
+        cfg,
+        command="export",
+        model_path=str(tmp_path / "w/s"),
+        output_file=str(tmp_path / "model.jaxir"),
+    )
+    path = run_export(exp_cfg)
+    assert os.path.getsize(path) > 1000
+
+    # live scores through the package
+    from dgcnn_tpu.models import get_model
+    from dgcnn_tpu.train.trainval import Trainval
+
+    tv = Trainval(cfg)
+    state = tv.initialize(4)
+    state, _, _ = checkpoint.restore(str(tmp_path / "w/s"), state)
+    rng = np.random.RandomState(0)
+    points = jnp.asarray(rng.randn(2, 128, 4).astype(np.float32))
+    mask = jnp.ones((2, 128), bool)
+    model = get_model(cfg.model_name, cfg.model_spec())
+    logits, _ = model.apply(state.params, state.model_state, points, mask, train=False)
+    live = jax.nn.softmax(logits, -1)
+
+    served = load_exported(path)(points, mask)
+    np.testing.assert_allclose(np.asarray(served), np.asarray(live), atol=1e-5)

@@ -1,0 +1,57 @@
+"""LR schedules and auto-resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dgcnn_tpu.config import Config
+from dgcnn_tpu.train.loop import train
+
+SMALL = dict(
+    command="train",
+    io_type="synthetic",
+    num_class=2,
+    kvalue=6,
+    edge_filters=(8,),
+    head_feat_dim=16,
+    head_mlp=(16,),
+    minibatch_size=8,
+    num_point=128,
+    report_step=4,
+    checkpoint_step=4,
+    use_pallas=False,
+    precision="highest",
+    seed=11,
+)
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(
+        SMALL,
+        weight_prefix=str(tmp_path / "w/s"),
+        log_dir=str(tmp_path / "log"),
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.mark.parametrize("sched", ["cosine", "step"])
+def test_lr_schedules_train(tmp_path, sched):
+    cfg = _cfg(
+        tmp_path, iteration=8, lr_schedule=sched, learning_rate=1e-2,
+        lr_decay_steps=4,
+    )
+    m = train(cfg)
+    assert np.isfinite(m["loss"])
+
+
+def test_auto_resume_continues(tmp_path):
+    m1 = train(_cfg(tmp_path, iteration=8))
+    assert os.path.exists(tmp_path / "w/s-8.ckpt")
+    # second invocation with auto_resume picks up step 8 and continues
+    m2 = train(_cfg(tmp_path, iteration=12, auto_resume=True))
+    assert os.path.exists(tmp_path / "w/s-12.ckpt")
+    # and a cold run without auto_resume starts over (no step-12 → 8 again)
+    m3 = train(_cfg(tmp_path, iteration=8, weight_prefix=str(tmp_path / "w2/s")))
+    assert os.path.exists(tmp_path / "w2/s-8.ckpt")
