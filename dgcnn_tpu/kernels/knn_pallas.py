@@ -140,35 +140,38 @@ def _vma(x):
     jax.jit,
     static_argnames=("k", "block_q", "block_t", "interpret", "precision"),
 )
-def _knn_pallas_call(x, mask, *, k, block_q, block_t, interpret, precision):
-    b, n, c = x.shape
+def _knn_pallas_call(xq, xk, mask, *, k, block_q, block_t, interpret, precision):
+    b, nq, c = xq.shape
+    nk = xk.shape[1]
     # graph construction is non-differentiable (integer neighbor indices,
     # same as top_k in the oracle) — make that explicit so AD never asks
     # the pallas_call for a VJP
-    x = jax.lax.stop_gradient(x)
-    n_pad = _round_up(n, int(np.lcm(block_q, block_t)))
+    xq = jax.lax.stop_gradient(xq)
+    xk = jax.lax.stop_gradient(xk)
+    nq_pad = _round_up(nq, block_q)
+    nk_pad = _round_up(nk, block_t)
     # augmented operands (fold distances + masking into one matmul)
-    x2 = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    k2 = jnp.sum(jnp.square(xk), axis=-1, keepdims=True)
     if mask is None:
-        mask = jnp.ones((b, n), bool)
+        mask = jnp.ones((b, nk), bool)
     maskf = mask.astype(jnp.float32)[..., None]
-    qa = jnp.concatenate(
-        [2.0 * x, -jnp.ones_like(x2), -jnp.ones_like(x2)], axis=-1
-    )
-    ka = jnp.concatenate([x, x2, MASK_BIG * (1.0 - maskf)], axis=-1)
+    # derive from xq so the constant carries xq's varying-mesh-axes under
+    # shard_map (a fresh jnp.ones would be unvarying and fail check_vma)
+    ones = jnp.ones_like(xq[..., :1])
+    qa = jnp.concatenate([2.0 * xq, -ones, -ones], axis=-1)
+    ka = jnp.concatenate([xk, k2, MASK_BIG * (1.0 - maskf)], axis=-1)
     cp = _round_up(qa.shape[-1], 128)
     pad_c = cp - qa.shape[-1]
-    pad_n = n_pad - n
-    qa = jnp.pad(qa, ((0, 0), (0, pad_n), (0, pad_c)))
+    qa = jnp.pad(qa, ((0, 0), (0, nq_pad - nq), (0, pad_c)))
     ka = jnp.pad(
         jnp.pad(ka, ((0, 0), (0, 0), (0, pad_c))),
-        ((0, 0), (0, pad_n), (0, 0)),
+        ((0, 0), (0, nk_pad - nk), (0, 0)),
     )
-    if pad_n:
+    if nk_pad - nk:
         # padded key rows must never be selected: flag via the BIG channel
-        ka = ka.at[:, n:, c + 1].set(MASK_BIG)
+        ka = ka.at[:, nk:, c + 1].set(MASK_BIG)
 
-    grid = (b, n_pad // block_q, n_pad // block_t)
+    grid = (b, nq_pad // block_q, nk_pad // block_t)
     idx_t, val_t = pl.pallas_call(
         functools.partial(
             _knn_kernel, k=k, block_t=block_t, precision=precision
@@ -195,8 +198,8 @@ def _knn_pallas_call(x, mask, *, k, block_q, block_t, interpret, precision):
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, k, n_pad), jnp.int32, vma=_vma(qa)),
-            jax.ShapeDtypeStruct((b, k, n_pad), jnp.float32, vma=_vma(qa)),
+            jax.ShapeDtypeStruct((b, k, nq_pad), jnp.int32, vma=_vma(qa)),
+            jax.ShapeDtypeStruct((b, k, nq_pad), jnp.float32, vma=_vma(qa)),
         ],
         scratch_shapes=[
             pltpu.VMEM((k, block_q), jnp.float32),
@@ -204,12 +207,14 @@ def _knn_pallas_call(x, mask, *, k, block_q, block_t, interpret, precision):
         ],
         interpret=interpret,
     )(qa, ka)
-    idx = jnp.swapaxes(idx_t, -1, -2)[:, :n]  # (B, N, k)
-    vals = jnp.swapaxes(val_t, -1, -2)[:, :n]
+    idx = jnp.swapaxes(idx_t, -1, -2)[:, :nq]  # (B, Nq, k)
+    vals = jnp.swapaxes(val_t, -1, -2)[:, :nq]
     valid = vals > -1e29
-    self_idx = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    self_idx = jnp.minimum(
+        jnp.arange(nq, dtype=jnp.int32), nk - 1
+    )[None, :, None]
     idx = jnp.where(valid, idx, self_idx)
-    return idx, valid
+    return idx, valid, vals
 
 
 def knn_pallas(
@@ -221,6 +226,7 @@ def knn_pallas(
     block_t: int = 1024,
     interpret: bool | None = None,
     precision=jax.lax.Precision.HIGHEST,
+    return_scores: bool = False,
 ):
     """Drop-in replacement for `ops.knn.knn_indices` (same contract).
 
@@ -229,13 +235,49 @@ def knn_pallas(
     MXU score matmul: HIGHEST (default) is f32-faithful so neighbor sets
     match the f32 oracle; DEFAULT uses single-pass bf16 (faster, may swap
     near-equidistant neighbors — harmless for training quality).
+
+    With ``return_scores`` the kernel's raw neighbor scores come back as a
+    third output. Scores are ``‖x_i‖² − D_ij`` — offset per *query*, so
+    they are directly comparable across different key sets of the same
+    query (what the ring-CP merge needs), just not actual distances.
     """
     b, n, c = x.shape
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     block_q = min(block_q, _round_up(n, 128))
     block_t = min(block_t, _round_up(n, 128))
+    out = _knn_pallas_call(
+        x, x, mask, k=k, block_q=block_q, block_t=block_t,
+        interpret=interpret, precision=precision,
+    )
+    if return_scores:
+        return out
+    return out[0], out[1]
+
+
+def knn_pallas_cross(
+    xq,
+    xk,
+    k: int,
+    mask_k=None,
+    *,
+    block_q: int = 256,
+    block_t: int = 1024,
+    interpret: bool | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Top-k keys of ``xk`` for every query in ``xq`` (cross form).
+
+    Returns (idx into xk, valid, scores); scores are ``‖q‖² − D`` —
+    per-query offset, comparable across different key sets of the same
+    queries. This is the local scorer of the ring-CP kNN: each ring step
+    ranks the resident queries against the block currently held.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    block_q = min(block_q, _round_up(xq.shape[1], 128))
+    block_t = min(block_t, _round_up(xk.shape[1], 128))
     return _knn_pallas_call(
-        x, mask, k=k, block_q=block_q, block_t=block_t, interpret=interpret,
-        precision=precision,
+        xq, xk, mask_k, k=k, block_q=block_q, block_t=block_t,
+        interpret=interpret, precision=precision,
     )

@@ -71,6 +71,7 @@ def ring_knn(
     *,
     axis_name: str = POINT_AXIS,
     precision=None,
+    use_pallas: bool = False,
 ):
     """kNN over points sharded along ``axis_name``.
 
@@ -95,11 +96,29 @@ def ring_knn(
     if mask_shard is None:
         mask_shard = jnp.ones(x_shard.shape[:-1], bool)
 
+    if use_pallas:
+        # in-block scoring via the fused kernel: per-block top-k never
+        # materializes the (Nq, Nb) score matrix, and the kernel's scores
+        # (‖q‖² − D, per-query offset) are directly comparable across
+        # ring steps. TPU path for real multi-chip slices; the jnp path
+        # below stays bitwise-identical to the global oracle.
+        from dgcnn_tpu.kernels.knn_pallas import knn_pallas_cross
+
+        def block_topk(blk, blk_mask):
+            bi, bvalid, bv = knn_pallas_cross(
+                x_shard, blk, k, blk_mask, precision=precision
+            )
+            return jnp.where(bvalid, bv, -jnp.inf), bi
+    else:
+
+        def block_topk(blk, blk_mask):
+            scores = _block_scores(x_shard, blk, blk_mask, precision)
+            return jax.lax.top_k(scores, k)
+
     def step(carry, s):
         topv, topi, blk, blk_mask = carry
         owner = (me - s) % n_shards  # ring shifted s times → owner's block
-        scores = _block_scores(x_shard, blk, blk_mask, precision)
-        bv, bi = jax.lax.top_k(scores, k)
+        bv, bi = block_topk(blk, blk_mask)
         cand_v = jnp.concatenate([topv, bv], axis=-1)
         cand_i = jnp.concatenate([topi, bi + owner * nl], axis=-1)
         cand_v, cand_i = _tie_sort(cand_v, cand_i)

@@ -87,3 +87,40 @@ def test_ring_gather_matches_local_gather():
     out = fn(vals, idx)
     expect = gather_neighbors(vals, idx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=0)
+
+
+def test_ring_knn_pallas_scorer_matches_oracle():
+    """use_pallas=True: per-block fused-kernel scoring, same neighbor sets."""
+    rng = np.random.RandomState(7)
+    n, k = 512, 12
+    x = jnp.asarray(rng.randn(1, n, 8).astype(np.float32))
+    mask = jnp.asarray((np.arange(n) < 450)[None])
+    mesh = _cp_mesh(4)
+    # check_vma=False: the pallas *interpreter* (CPU test path) slices its
+    # inputs with unvarying iota indices, which trips replication checking;
+    # the compiled TPU path declares output vma properly and doesn't need
+    # this. Forward-only here, so disabling rep-checking is semantically
+    # safe.
+    fn = jax.jit(
+        jax.shard_map(
+            lambda xs, ms: ring_knn(xs, k, ms, precision=HI, use_pallas=True),
+            mesh=mesh,
+            in_specs=(P(None, POINT_AXIS), P(None, POINT_AXIS)),
+            out_specs=(P(None, POINT_AXIS), P(None, POINT_AXIS)),
+            check_vma=False,
+        )
+    )
+    idx_r, valid_r = fn(x, mask)
+    idx_o, valid_o = knn_indices(x, k, mask, precision=HI)
+    # kernel scores may differ from the oracle's in final ulps; compare
+    # neighbor sets with distance-tie tolerance like the kernel tests
+    mismatch = np.asarray(idx_r) != np.asarray(idx_o)
+    if mismatch.any():
+        from dgcnn_tpu.ops.knn import pairwise_sq_dists
+
+        d = np.asarray(pairwise_sq_dists(x, precision=HI))
+        for b, i, j in zip(*np.nonzero(mismatch)):
+            dk = d[b, i, int(np.asarray(idx_r)[b, i, j])]
+            do = d[b, i, int(np.asarray(idx_o)[b, i, j])]
+            assert abs(dk - do) < 1e-5, (b, i, j, dk, do)
+    np.testing.assert_array_equal(np.asarray(valid_r), np.asarray(valid_o))
