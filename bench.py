@@ -32,6 +32,7 @@ N_POINTS = int(os.environ.get("BENCH_POINTS", 16384))
 BATCH = int(os.environ.get("BENCH_BATCH", 1))
 ITERS = int(os.environ.get("BENCH_ITERS", 10))
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
+PRECISION = os.environ.get("BENCH_PRECISION", "default")
 
 
 def main():
@@ -50,6 +51,7 @@ def main():
         minibatch_size=BATCH,
         num_point=N_POINTS,
         use_pallas=USE_PALLAS,
+        precision=PRECISION,
     )
     tv = Trainval(cfg, mesh=make_mesh(1))
     state = tv.initialize(4)

@@ -146,8 +146,11 @@ def _knn_pallas_call(xq, xk, mask, *, k, block_q, block_t, interpret, precision)
     # graph construction is non-differentiable (integer neighbor indices,
     # same as top_k in the oracle) — make that explicit so AD never asks
     # the pallas_call for a VJP
-    xq = jax.lax.stop_gradient(xq)
-    xk = jax.lax.stop_gradient(xk)
+    # f32 operands regardless of the model's compute dtype: the graph
+    # build is stop-gradient and merge-bound (the matmul is nearly free),
+    # and bf16 inputs would otherwise hand Mosaic a mixed-dtype dot
+    xq = jax.lax.stop_gradient(xq).astype(jnp.float32)
+    xk = jax.lax.stop_gradient(xk).astype(jnp.float32)
     nq_pad = _round_up(nq, block_q)
     nk_pad = _round_up(nk, block_t)
     # augmented operands (fold distances + masking into one matmul)

@@ -65,8 +65,9 @@ def conv_bn_apply(
     axis_name=None,
     dtype=None,
 ):
-    """dense → BN → activation; returns (y, new_bn_state)."""
+    """dense → BN(f32 out) → activation → cast back; returns (y, state)."""
     y = dense_apply(params, x, precision=precision, dtype=dtype)
+    y_dtype = y.dtype
     y, new_state = batch_norm_apply(
         {"scale": params["bn"]["scale"], "bias": params["bn"]["bias"]},
         state,
@@ -75,10 +76,11 @@ def conv_bn_apply(
         train=train,
         momentum=momentum,
         axis_name=axis_name,
+        out_dtype=jnp.float32,  # see ops.norm: bf16 post-BN grads overflow
     )
     if activation is not None:
         y = activation(y)
-    return y, new_state
+    return y.astype(y_dtype), new_state
 
 
 def dropout(rng, x, rate: float, *, train: bool):

@@ -169,6 +169,10 @@ def make_model(
             h = p_feat[..., :, None, :] + _gather(q_feat, idx)  # (B,N,k,C_out)
 
             bn_mask = None if edge_mask is None else edge_mask[..., None]
+            # post-BN chain (relu, max, residual add) stays f32: casting
+            # it to bf16 makes deep-stack gradients overflow (see
+            # ops.norm.batch_norm_apply); y is cast back at the block
+            # boundary so the next block's matmuls run in compute dtype
             h, bn_s = batch_norm_apply(
                 {"scale": blk_p["bn"]["scale"], "bias": blk_p["bn"]["bias"]},
                 blk_s,
@@ -177,6 +181,7 @@ def make_model(
                 train=train,
                 momentum=spec.bn_momentum,
                 axis_name=bn_axis,
+                out_dtype=jnp.float32,
             )
             y = jnp.max(jax.nn.relu(h), axis=-2)  # aggregate over k
             if spec.residual:
@@ -185,8 +190,8 @@ def make_model(
                     if "proj" in blk_p
                     else x
                 )
-                y = y + shortcut
-            return y, bn_s
+                y = y + shortcut.astype(y.dtype)
+            return y.astype(cdtype), bn_s
 
         if spec.remat:
             # recompute the dynamic graph + (B,N,k,C) edge tensor in the

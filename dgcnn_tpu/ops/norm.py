@@ -40,6 +40,7 @@ def batch_norm_apply(
     momentum: float = 0.9,
     eps: float = 1e-3,
     axis_name: str | None = None,
+    out_dtype=None,
 ):
     """Normalize ``x`` over all axes but the last.
 
@@ -56,11 +57,17 @@ def batch_norm_apply(
         over that mesh axis — cross-replica sync BN, which makes training
         bitwise independent of the data-parallel device count. ``None``
         reproduces the reference's per-tower BN [M per SURVEY.md §7].
+      out_dtype: output dtype; defaults to the input dtype. Mixed-precision
+        callers pass float32: casting normalized activations down to bf16
+        between BN and the nonlinearity/aggregation makes gradients of
+        deep (≥5-block) stacks overflow to inf (observed empirically);
+        keeping the post-BN chain f32 and casting at block boundaries is
+        stable and costs nothing (the chain lives inside an XLA fusion).
 
     Returns:
       ``(y, new_state)``.
     """
-    out_dtype = x.dtype
+    out_dtype = out_dtype or x.dtype
     # statistics always accumulate in f32 (bf16 sums overflow/lose bits)
     x = x.astype(jnp.float32)
     if train:

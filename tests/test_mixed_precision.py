@@ -84,3 +84,40 @@ def test_remat_identical_loss_and_grads():
     np.testing.assert_allclose(float(l_p), float(l_r), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_bn_output_stays_f32_for_bf16_inputs():
+    """Regression: casting the post-BN chain to bf16 made gradients of
+    deep (>=5 block) stacks overflow to inf on TPU. BN must emit f32 when
+    asked (models pass out_dtype=f32 and cast at block boundaries)."""
+    from dgcnn_tpu.ops.norm import batch_norm_apply, batch_norm_init
+
+    params, state = batch_norm_init(8)
+    x = jnp.ones((4, 8), jnp.bfloat16)
+    y, _ = batch_norm_apply(params, state, x, train=True, out_dtype=jnp.float32)
+    assert y.dtype == jnp.float32
+    y2, _ = batch_norm_apply(params, state, x, train=True)
+    assert y2.dtype == jnp.bfloat16  # default unchanged
+
+
+def test_bf16_deep_stack_grads_finite():
+    """6-block residual stack in bf16: grads stay finite (the failing
+    depth of the original overflow)."""
+    spec = ModelSpec(
+        num_class=2, k=8, edge_filters=(32,) * 6, head_feat_dim=64,
+        head_mlp=(64,), compute_dtype="bfloat16",
+    )
+    model = get_model("residual-dgcnn", spec)
+    rng = jax.random.PRNGKey(0)
+    params, state = model.init(rng, 4)
+    x = jax.random.normal(rng, (1, 512, 4))
+    labels = jnp.zeros((1, 512), jnp.int32)
+
+    def loss_fn(p):
+        logits, _ = model.apply(p, state, x, train=True)
+        return softmax_cross_entropy(logits, labels)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    for g in jax.tree_util.tree_leaves(grads):
+        assert bool(jnp.all(jnp.isfinite(g)))
