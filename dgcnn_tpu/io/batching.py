@@ -128,21 +128,29 @@ class BucketBatcher:
 
     def _event_lengths(self):
         if self._lengths is None:
-            self._lengths = np.array(
-                [len(self.io.read_event(i)) for i in range(self.io.num_events())]
-            )
+            # readers over the canonical offsets layout provide lengths
+            # without touching point data (a full-file read otherwise)
+            fast = getattr(self.io, "event_lengths", None)
+            if fast is not None:
+                self._lengths = np.asarray(fast())
+            else:
+                self._lengths = np.array(
+                    [len(self.io.read_event(i)) for i in range(self.io.num_events())]
+                )
         return self._lengths
 
     def epoch(self) -> Iterator[Batch]:
         """One pass over the input file in batches."""
         n = self.io.num_events()
         order = np.arange(n)
+        # event lengths are only needed for bucketing decisions; with a
+        # fixed num_point the pad size is constant
+        lengths = self._event_lengths() if self.num_point == 0 else None
         if self.shuffle:
             self.rng.shuffle(order)
-            if self.num_point == 0:
+            if lengths is not None:
                 # group similar lengths to reduce padding waste, keep the
                 # shuffle as a tie-break within equal lengths
-                lengths = self._event_lengths()
                 order = order[np.argsort(lengths[order], kind="stable")]
         batches = [
             order[i : i + self.batch_size] for i in range(0, n, self.batch_size)
@@ -151,27 +159,33 @@ class BucketBatcher:
             batches.pop()
         if self.shuffle:
             self.rng.shuffle(batches)
-        lengths = self._event_lengths()
         native_batch = getattr(self.io, "read_batch", None)
         for idxs in batches:
             ids = list(map(int, idxs))
-            # static shapes: repeat events to fill a short remainder batch
-            # (repeats carry real masks; dedup happens at write-back via
-            # event_ids)
+            n_live = len(ids)
+            # static shapes: repeat events to fill a short remainder batch;
+            # filler slots get an all-False mask below so they contribute
+            # nothing to loss, metrics or write-back
             while len(ids) < self.batch_size:
                 ids = ids + ids[: self.batch_size - len(ids)]
-            n_pad = self._bucket_for(int(max(lengths[i] for i in ids)))
+            if lengths is not None:
+                n_pad = self._bucket_for(int(max(lengths[i] for i in ids)))
+            else:
+                n_pad = self._bucket_for(self.num_point)
             if native_batch is not None:
                 # reader-side batch assembly (C++ threaded path for DGB)
-                yield native_batch(ids, n_pad, crop=self.num_point or 0)
+                batch = native_batch(ids, n_pad, crop=self.num_point or 0)
             else:
                 events = [self.io.read_event(i) for i in ids]
-                yield pad_events(
+                batch = pad_events(
                     events,
                     n_pad,
                     self.rng if self.shuffle else None,
                     crop=self.num_point or None,
                 )
+            if n_live < self.batch_size:
+                batch.mask[n_live:] = False
+            yield batch
 
     def forever(self) -> Iterator[Batch]:
         """Endless epochs (training)."""
@@ -182,27 +196,58 @@ class BucketBatcher:
 def prefetch(it: Iterator, size: int = 2) -> Iterator:
     """Run ``it`` in a background thread, buffering ``size`` items — the
     rebuild's equivalent of the reference's threaded double-buffer [H per
-    SURVEY.md §3.4]."""
+    SURVEY.md §3.4].
+
+    The generator's ``close()`` (or garbage collection) stops and JOINS
+    the worker; callers that break out early and then tear down the
+    underlying reader (e.g. munmap a DGB file) must close the stream
+    first or the worker could read freed memory mid-batch. The driver
+    loops do this.
+    """
     if size <= 0:
         yield from it
         return
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Blocking put that gives up when the consumer stopped."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(item)
-            q.put(_END)
+                if not _put(item):
+                    return
+                if stop.is_set():
+                    return
+            _put(_END)
         except BaseException as e:  # propagate into the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so a blocked put can't deadlock the join
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=5.0)

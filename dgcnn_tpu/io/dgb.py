@@ -132,6 +132,10 @@ class DGBIO(IOBase):
     def num_events(self) -> int:
         return self._e
 
+    def event_lengths(self):
+        """All event sizes from the offsets table (no point-data IO)."""
+        return np.diff(np.asarray(self._offsets)).astype(np.int64)
+
     def read_event(self, i: int) -> Event:
         lo, hi = int(self._offsets[i]), int(self._offsets[i + 1])
         return Event(

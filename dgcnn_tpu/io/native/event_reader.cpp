@@ -89,6 +89,16 @@ void* dgb_open(const char* path) {
     delete f;
     return nullptr;
   }
+  // bounds-check the offsets table BEFORE dereferencing it: a corrupt
+  // header claiming a huge num_events must fail cleanly, not read out of
+  // the mapping (also guards the (E+1)*8 arithmetic against overflow)
+  const uint64_t max_entries = (f->size - 0x18) / sizeof(uint64_t);
+  if (f->num_events >= max_entries) {
+    munmap(mem, f->size);
+    ::close(fd);
+    delete f;
+    return nullptr;
+  }
   const uint8_t* p = f->base + 0x18;
   f->offsets = reinterpret_cast<const uint64_t*>(p);
   p += (f->num_events + 1) * sizeof(uint64_t);

@@ -60,6 +60,50 @@ class IOBase:
             yield self.read_event(i)
 
 
+class SubsetIO(IOBase):
+    """A contiguous id-range view of another reader (multi-host data
+    sharding: each process reads only its slice of the event file, per
+    SURVEY.md §2.2 "per-host data sharding over DCN")."""
+
+    def __init__(self, io: IOBase, lo: int, hi: int):
+        self._io, self._lo, self._hi = io, lo, hi
+
+    def initialize(self):
+        return self
+
+    def num_events(self) -> int:
+        return self._hi - self._lo
+
+    def event_lengths(self):
+        fast = getattr(self._io, "event_lengths", None)
+        if fast is not None:
+            return fast()[self._lo : self._hi]
+        import numpy as _np
+
+        return _np.array(
+            [len(self._io.read_event(self._lo + i)) for i in range(self.num_events())]
+        )
+
+    def read_event(self, i: int) -> Event:
+        ev = self._io.read_event(self._lo + i)
+        return Event(ev.id, ev.points, ev.labels, ev.weights)
+
+    def __getattr__(self, name):
+        # expose the native batch path only when the inner reader has it
+        # (BucketBatcher feature-detects via getattr(..., None))
+        if name == "read_batch":
+            inner = getattr(self._io, "read_batch")  # may raise AttributeError
+
+            def read_batch(event_ids, n_pad, crop=0):
+                return inner([self._lo + int(i) for i in event_ids], n_pad, crop)
+
+            return read_batch
+        raise AttributeError(name)
+
+    def finalize(self):
+        self._io.finalize()
+
+
 class _OffsetArraysIO(IOBase):
     """Shared logic for the canonical offsets layout (h5 and npz)."""
 
@@ -88,6 +132,10 @@ class _OffsetArraysIO(IOBase):
 
     def num_events(self) -> int:
         return len(self._offsets) - 1
+
+    def event_lengths(self):
+        """All event sizes without touching point data (offsets diff)."""
+        return np.diff(np.asarray(self._offsets)).astype(np.int64)
 
     def read_event(self, i: int) -> Event:
         lo, hi = int(self._offsets[i]), int(self._offsets[i + 1])

@@ -105,7 +105,9 @@ def make_model(
     _pool = pool_fn or _masked_max_points
 
     def init(rng, in_dim: int):
-        keys = iter(jax.random.split(rng, 64))
+        # 2 keys/block (conv + optional proj) + head feat/mlp/out
+        n_keys = 2 * len(spec.edge_filters) + len(spec.head_mlp) + 4
+        keys = iter(jax.random.split(rng, n_keys))
         blocks, block_states = [], []
         c_in = in_dim
         for c_out in spec.edge_filters:

@@ -14,21 +14,33 @@ import time
 
 
 class CSVData:
-    """Append-only CSV log (reference `CSVData` helper [L])."""
+    """Append-only CSV log (reference `CSVData` helper [L]).
 
-    def __init__(self, path: str):
+    With ``append=True`` an existing file is continued (auto-resume after
+    preemption must not wipe the history) and the header is only written
+    when the file is new/empty.
+    """
+
+    def __init__(self, path: str, append: bool = False):
         d = os.path.dirname(path)
         if d:
             os.makedirs(d, exist_ok=True)
         self.path = path
+        self._append = append
         self._file = None
         self._keys = None
 
     def write(self, row: dict):
         if self._file is None:
-            self._file = open(self.path, "w")
-            self._keys = list(row.keys())
-            self._file.write(",".join(self._keys) + "\n")
+            existing_header = None
+            if self._append and os.path.exists(self.path):
+                with open(self.path) as f:
+                    first = f.readline().strip()
+                existing_header = first.split(",") if first else None
+            self._file = open(self.path, "a" if self._append else "w")
+            self._keys = existing_header or list(row.keys())
+            if existing_header is None:
+                self._file.write(",".join(self._keys) + "\n")
         vals = [row.get(k, "") for k in self._keys]
         self._file.write(
             ",".join(f"{v:.6g}" if isinstance(v, float) else str(v) for v in vals)
@@ -50,8 +62,14 @@ class Reporter:
     to CSV-only otherwise.
     """
 
-    def __init__(self, log_dir: str, name: str = "train", tensorboard: bool = False):
-        self.csv = CSVData(os.path.join(log_dir, f"{name}_log.csv"))
+    def __init__(
+        self,
+        log_dir: str,
+        name: str = "train",
+        tensorboard: bool = False,
+        append: bool = False,
+    ):
+        self.csv = CSVData(os.path.join(log_dir, f"{name}_log.csv"), append=append)
         self._t_last = time.perf_counter()
         self._iter_last = 0
         self._tb = None

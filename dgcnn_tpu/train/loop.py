@@ -33,9 +33,32 @@ def _flatten_metrics(metrics: dict) -> dict:
 
 def _build_io(cfg, shuffle: bool):
     io = io_factory(cfg).initialize()
+    batch_size = cfg.minibatch_size
+    nproc = jax.process_count()
+    if nproc > 1:
+        # multi-host: each process reads its own contiguous event slice
+        # and assembles its share of the GLOBAL minibatch; the arrays are
+        # joined into global jax.Arrays in Trainval._put_batch
+        from dgcnn_tpu.io.readers import SubsetIO
+        from dgcnn_tpu.utils.distributed import host_event_range
+
+        if cfg.minibatch_size % nproc:
+            raise ValueError(
+                f"minibatch_size={cfg.minibatch_size} not divisible by "
+                f"process_count={nproc}"
+            )
+        if cfg.num_point <= 0:
+            raise ValueError(
+                "multi-host training requires --num_point (all hosts must "
+                "assemble identically-shaped batches; dynamic bucketing "
+                "would desynchronize shapes across processes)"
+            )
+        lo, hi = host_event_range(io.num_events())
+        io = SubsetIO(io, lo, hi).initialize()
+        batch_size = cfg.minibatch_size // nproc
     batcher = BucketBatcher(
         io,
-        batch_size=cfg.minibatch_size,
+        batch_size=batch_size,
         buckets=cfg.buckets,
         num_point=cfg.num_point,
         shuffle=shuffle,
@@ -65,17 +88,20 @@ def _make_validator(cfg, tv):
 
     def validate(state):
         cm = np.zeros((cfg.num_class, cfg.num_class), np.float64)
-        loss_sum = n = 0
+        loss_sum = w_sum = 0.0
         for i, batch in enumerate(val_batcher.epoch()):
             if cfg.val_batches and i >= cfg.val_batches:
                 break
             _, _, m = tv.inference(state, batch)
             cm += np.asarray(m["confusion"], np.float64)
-            loss_sum += float(m["loss"])
-            n += 1
+            # weight each batch's mean loss by its valid-point mass so
+            # val_loss is a true per-point mean across buckets
+            w = float(m.get("loss_weight", 1.0))
+            loss_sum += float(m["loss"]) * w
+            w_sum += w
         acc = float(np.trace(cm) / max(cm.sum(), 1.0))
         return {
-            "val_loss": loss_sum / max(n, 1),
+            "val_loss": loss_sum / max(w_sum, 1e-9),
             "val_acc": acc,
             "val_miou": float(mean_iou(cm)),
         }
@@ -98,13 +124,15 @@ def train(cfg) -> dict:
         state = state._replace(step=jax.numpy.asarray(start_step, jax.numpy.int32))
         print(f"restored checkpoint at step {start_step}", flush=True)
 
-    reporter = Reporter(cfg.log_dir, "train", tensorboard=cfg.tensorboard)
+    reporter = Reporter(
+        cfg.log_dir, "train", tensorboard=cfg.tensorboard, append=start_step > 0
+    )
     prof = maybe_start_profiler(cfg.profile_dir)
     events_per_epoch = max(io.num_events(), 1)
     metrics = {}
     it = start_step
+    stream = prefetch(batcher.forever(), cfg.prefetch)
     try:
-        stream = prefetch(batcher.forever(), cfg.prefetch)
         for batch in stream:
             if it >= cfg.iteration:
                 break
@@ -121,6 +149,9 @@ def train(cfg) -> dict:
         path = checkpoint.save(cfg.weight_prefix, it, state, vars(cfg))
         print(f"saved final checkpoint {path}", flush=True)
     finally:
+        # stop + join the prefetch worker BEFORE tearing down the reader
+        # (a DGB munmap under a mid-copy worker is a use-after-unmap)
+        stream.close()
         maybe_stop_profiler(prof)
         reporter.close()
         io.finalize()
@@ -129,6 +160,11 @@ def train(cfg) -> dict:
 
 def inference(cfg) -> dict:
     """Inference + per-event prediction write-back; returns summary metrics."""
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "multi-host inference write-back is not supported yet; run "
+            "inference single-host (it fits one host by construction)"
+        )
     io, batcher, in_dim = _build_io(cfg, shuffle=False)
     tv = Trainval(cfg)
     state = tv.initialize(in_dim)
@@ -142,8 +178,9 @@ def inference(cfg) -> dict:
     cm_total = np.zeros((cfg.num_class, cfg.num_class), np.float64)
     n_batches = 0
     t0 = time.perf_counter()
+    stream = prefetch(batcher.epoch(), cfg.prefetch)
     try:
-        for batch in prefetch(batcher.epoch(), cfg.prefetch):
+        for batch in stream:
             if cfg.iteration and n_batches >= cfg.iteration:
                 break
             scores, pred, metrics = tv.inference(state, batch)
@@ -161,6 +198,7 @@ def inference(cfg) -> dict:
                     )
             reporter.report(n_batches, 0.0, {"loss": float(metrics["loss"])})
     finally:
+        stream.close()
         reporter.close()
         io.finalize()
     if writer is not None:

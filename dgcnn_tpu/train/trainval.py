@@ -231,14 +231,14 @@ class Trainval:
             p1h = (pred.reshape(-1)[:, None] == cls).astype(jnp.float32)
             cm = jax.lax.psum(t1h.T @ p1h, axes)
             loss = loss_sum / jnp.maximum(w_sum, 1e-9)
-            return scores, pred, loss, cm
+            return scores, pred, loss, w_sum, cm
 
         bspec = self._batch_spec
         smapped = jax.shard_map(
             device_eval,
             mesh=self.mesh,
             in_specs=(P(), P(), bspec, bspec, bspec, bspec),
-            out_specs=(bspec, bspec, P(), P()),
+            out_specs=(bspec, bspec, P(), P(), P()),
         )
         return jax.jit(smapped)
 
@@ -249,10 +249,10 @@ class Trainval:
         matrix) — per-point softmax scores for write-back.
         """
         points, labels, weights, mask = self._put_batch(batch)
-        scores, pred, loss, cm = self._eval_step(
+        scores, pred, loss, w_sum, cm = self._eval_step(
             state.params, state.model_state, points, labels, weights, mask
         )
-        return scores, pred, {"loss": loss, "confusion": cm}
+        return scores, pred, {"loss": loss, "loss_weight": w_sum, "confusion": cm}
 
     # ------------------------------------------------------------- helpers
 
@@ -264,7 +264,16 @@ class Trainval:
             points, labels, weights, mask = batch
         if weights is None:
             weights = np.ones(labels.shape, np.float32)
-        put = lambda x: jax.device_put(np.asarray(x), self._batch_sharding)
+        if jax.process_count() > 1:
+            # each process holds its share of the global batch; assemble
+            # global jax.Arrays across hosts (addressable shards only)
+            def put(x):
+                return jax.make_array_from_process_local_data(
+                    self._batch_sharding, np.asarray(x)
+                )
+        else:
+            def put(x):
+                return jax.device_put(np.asarray(x), self._batch_sharding)
         return (
             put(points.astype(np.float32)),
             put(labels.astype(np.int32)),
@@ -306,7 +315,13 @@ def _make_optimizer(name: str, lr):
 
 
 def _maybe_pallas_knn():
-    """Fused Pallas kNN when available on this backend, else the jnp oracle."""
+    """Fused Pallas kNN on TPU backends; None (jnp oracle) elsewhere —
+    interpret-mode emulation off-TPU is orders of magnitude slower than
+    lax.top_k and must never be a silent default."""
+    import jax as _jax
+
+    if _jax.default_backend() not in ("tpu", "axon"):
+        return None
     try:
         from dgcnn_tpu.kernels.knn_pallas import knn_pallas
 
