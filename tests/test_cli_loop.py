@@ -101,3 +101,25 @@ def test_train_checkpoint_resume_inference(tmp_path):
             n_pred = off[j + 1] - off[j]
             assert 0 < n_pred <= 192
             assert n_pred == min(len(io.read_event(int(eid))), 192)
+
+
+def test_multi_bucket_training(tmp_path):
+    """Variable-length events spanning several buckets: one jit entry per
+    bucket shape, one run."""
+    from dgcnn_tpu.io import SyntheticIO, write_canonical
+
+    io = SyntheticIO(num_events=24, num_point=700, seed=13).initialize()
+    path = str(tmp_path / "var.h5")
+    write_canonical(path, [io.read_event(i) for i in range(24)], "h5")
+    cfg = _cfg(
+        tmp_path,
+        io_type="h5",
+        input_file=path,
+        num_point=0,
+        buckets=(256, 512, 1024),
+        iteration=6,
+        report_step=3,
+        checkpoint_step=0,
+    )
+    metrics = train(cfg)
+    assert np.isfinite(metrics["loss"])
