@@ -109,6 +109,42 @@ def _make_validator(cfg, tv):
     return validate
 
 
+class _GracefulStop:
+    """SIGTERM/SIGINT → finish the current step, checkpoint, exit cleanly
+    (TPU preemption workflow; pairs with --auto_resume)."""
+
+    def __init__(self):
+        self.stop = False
+        self._installed = []
+
+    def install(self):
+        import signal
+
+        def handler(signum, frame):
+            print(
+                f"received signal {signum}: checkpointing and stopping",
+                flush=True,
+            )
+            self.stop = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._installed.append((sig, signal.signal(sig, handler)))
+            except ValueError:  # non-main thread (tests) — skip
+                pass
+        return self
+
+    def uninstall(self):
+        import signal
+
+        for sig, old in self._installed:
+            try:
+                signal.signal(sig, old)
+            except ValueError:
+                pass
+        self._installed = []
+
+
 def train(cfg) -> dict:
     """Train per the flag surface; returns final metrics (for tests)."""
     io, batcher, in_dim = _build_io(cfg, shuffle=cfg.shuffle)
@@ -132,9 +168,10 @@ def train(cfg) -> dict:
     metrics = {}
     it = start_step
     stream = prefetch(batcher.forever(), cfg.prefetch)
+    stopper = _GracefulStop().install()
     try:
         for batch in stream:
-            if it >= cfg.iteration:
+            if it >= cfg.iteration or stopper.stop:
                 break
             state, metrics = tv.train_step(state, batch)
             it += 1
@@ -149,6 +186,7 @@ def train(cfg) -> dict:
         path = checkpoint.save(cfg.weight_prefix, it, state, vars(cfg))
         print(f"saved final checkpoint {path}", flush=True)
     finally:
+        stopper.uninstall()
         # stop + join the prefetch worker BEFORE tearing down the reader
         # (a DGB munmap under a mid-copy worker is a use-after-unmap)
         stream.close()

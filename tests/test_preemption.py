@@ -1,0 +1,63 @@
+"""SIGTERM during training checkpoints and exits cleanly; auto-resume
+continues — the preemption round-trip."""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from dgcnn_tpu.config import Config
+from dgcnn_tpu.train.loop import train
+cfg = Config(
+    command="train", io_type="synthetic", num_class=2, kvalue=6,
+    edge_filters=(8,), head_feat_dim=16, head_mlp=(16,), minibatch_size=4,
+    num_point=128, iteration=100000, report_step=5, checkpoint_step=0,
+    use_pallas=False, num_devices=1, seed=7,
+    weight_prefix={prefix!r}, log_dir={logdir!r}, auto_resume=True,
+)
+print("READY", flush=True)
+train(cfg)
+print("CLEAN-EXIT", flush=True)
+"""
+
+
+def test_sigterm_checkpoints_and_resumes(tmp_path):
+    prefix = str(tmp_path / "w/s")
+    script = SCRIPT.format(repo=REPO, prefix=prefix, logdir=str(tmp_path / "log"))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-c", script],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        env=env,
+    )
+    # wait for a few report lines, then preempt
+    deadline = time.time() + 180
+    lines = []
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        lines.append(line)
+        if line.startswith("iter 10 "):
+            break
+    else:
+        proc.kill()
+        raise AssertionError(f"never reached iter 10: {lines[-5:]}")
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=120)
+    assert "checkpointing and stopping" in out
+    assert "saved final checkpoint" in out
+    assert "CLEAN-EXIT" in out
+    assert proc.returncode == 0
+    import glob
+
+    ckpts = glob.glob(prefix + "-*.ckpt")
+    assert ckpts, "no checkpoint written on SIGTERM"
