@@ -208,7 +208,17 @@ def inference(cfg) -> dict:
     state = tv.initialize(in_dim)
     if not cfg.model_path:
         raise ValueError("inference requires --model_path")
-    state, step, _ = checkpoint.restore(cfg.model_path, state)
+    # restore only params + BN state: inference never touches optimizer
+    # state, and requiring optimizer/schedule flags to match the training
+    # run just to predict would be hostile (export does the same)
+    loaded, step, _ = checkpoint.restore_subtrees(
+        cfg.model_path,
+        {"params": state.params, "model_state": state.model_state},
+    )
+    state = state._replace(
+        params=jax.device_put(loaded["params"], tv._repl_sharding),
+        model_state=jax.device_put(loaded["model_state"], tv._repl_sharding),
+    )
     print(f"restored checkpoint at step {step}", flush=True)
 
     writer = SegmentWriter(cfg.output_file) if cfg.output_file else None
