@@ -51,9 +51,26 @@ def latest(path_prefix: str):
     return best
 
 
+def _mismatch_error(path, payload, err):
+    saved = json.loads(payload.get("config", "{}"))
+    hints = {
+        k: saved.get(k)
+        for k in (
+            "model_name", "edge_filters", "head_feat_dim", "head_mlp",
+            "optimizer", "lr_schedule", "num_class",
+        )
+    }
+    return ValueError(
+        f"checkpoint {path!r} does not match the current run "
+        f"configuration: {err}\nThe checkpoint was saved with {hints}; "
+        f"pass matching model/optimizer flags to resume from it."
+    )
+
+
 def restore_subtrees(path: str, templates: dict):
     """Load only named top-level entries (e.g. params/model_state) — for
-    consumers that don't carry optimizer state, like serving export."""
+    consumers that don't carry optimizer state (inference, serving
+    export)."""
     if not os.path.exists(path):
         cand = latest(path)
         if cand is None:
@@ -62,10 +79,13 @@ def restore_subtrees(path: str, templates: dict):
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     tree_sd = payload["tree"]
-    out = {
-        k: serialization.from_state_dict(t, tree_sd[k])
-        for k, t in templates.items()
-    }
+    try:
+        out = {
+            k: serialization.from_state_dict(t, tree_sd[k])
+            for k, t in templates.items()
+        }
+    except (ValueError, KeyError) as e:
+        raise _mismatch_error(path, payload, e) from e
     return out, int(payload["step"]), json.loads(payload["config"])
 
 
@@ -88,17 +108,5 @@ def restore(path: str, tree_template):
     try:
         tree = serialization.from_state_dict(tree_template, payload["tree"])
     except (ValueError, KeyError) as e:
-        saved = json.loads(payload.get("config", "{}"))
-        hints = {
-            k: saved.get(k)
-            for k in (
-                "model_name", "edge_filters", "head_feat_dim", "head_mlp",
-                "optimizer", "lr_schedule", "num_class",
-            )
-        }
-        raise ValueError(
-            f"checkpoint {path!r} does not match the current run "
-            f"configuration: {e}\nThe checkpoint was saved with {hints}; "
-            f"pass matching model/optimizer flags to resume from it."
-        ) from e
+        raise _mismatch_error(path, payload, e) from e
     return tree, int(payload["step"]), json.loads(payload["config"])

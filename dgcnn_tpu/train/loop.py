@@ -6,6 +6,7 @@ inference write-back path.
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -121,11 +122,21 @@ class _GracefulStop:
         import signal
 
         def handler(signum, frame):
-            print(
-                f"received signal {signum}: checkpointing and stopping",
-                flush=True,
-            )
+            # flag FIRST; then async-signal-safe os.write (print() can hit
+            # 'reentrant call' if the signal lands inside another print,
+            # and an exception here would skip the preemption checkpoint)
             self.stop = True
+            try:
+                os.write(
+                    2,
+                    f"received signal {signum}: checkpointing and "
+                    f"stopping (repeat to abort immediately)\n".encode(),
+                )
+            except OSError:
+                pass
+            # a second signal must still be able to kill a hung/compiling
+            # run (flag is only polled between steps): restore originals
+            self.uninstall()
 
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:
@@ -208,17 +219,10 @@ def inference(cfg) -> dict:
     state = tv.initialize(in_dim)
     if not cfg.model_path:
         raise ValueError("inference requires --model_path")
-    # restore only params + BN state: inference never touches optimizer
-    # state, and requiring optimizer/schedule flags to match the training
-    # run just to predict would be hostile (export does the same)
-    loaded, step, _ = checkpoint.restore_subtrees(
-        cfg.model_path,
-        {"params": state.params, "model_state": state.model_state},
-    )
-    state = state._replace(
-        params=jax.device_put(loaded["params"], tv._repl_sharding),
-        model_state=jax.device_put(loaded["model_state"], tv._repl_sharding),
-    )
+    # params + BN state only: inference never touches optimizer state,
+    # and requiring optimizer/schedule flags to match the training run
+    # just to predict would be hostile (export does the same)
+    state, step = tv.restore_for_eval(state, cfg.model_path)
     print(f"restored checkpoint at step {step}", flush=True)
 
     writer = SegmentWriter(cfg.output_file) if cfg.output_file else None

@@ -113,6 +113,23 @@ class Trainval:
         )
         return jax.device_put(state, self._repl_sharding)
 
+    def restore_for_eval(self, state: "TrainState", path: str):
+        """Restore only params + BN state from a checkpoint (inference/
+        serving never carries optimizer state, so optimizer and schedule
+        flags of the original run are irrelevant). Returns (state, step)."""
+        from dgcnn_tpu.train import checkpoint
+
+        loaded, step, _ = checkpoint.restore_subtrees(
+            path, {"params": state.params, "model_state": state.model_state}
+        )
+        state = state._replace(
+            params=jax.device_put(loaded["params"], self._repl_sharding),
+            model_state=jax.device_put(
+                loaded["model_state"], self._repl_sharding
+            ),
+        )
+        return state, step
+
     # ---------------------------------------------------------- train step
 
     def _build_train_step(self):

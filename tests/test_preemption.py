@@ -43,14 +43,21 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     # wait for a few report lines, then preempt
     deadline = time.time() + 180
     lines = []
-    while time.time() < deadline:
+    while True:
+        if time.time() > deadline:
+            proc.kill()
+            raise AssertionError(f"never reached iter 10: {lines[-5:]}")
         line = proc.stdout.readline()
+        if line == "":
+            if proc.poll() is not None:  # child died before producing
+                raise AssertionError(
+                    f"subprocess exited rc={proc.returncode}: {lines[-10:]}"
+                )
+            time.sleep(0.1)
+            continue
         lines.append(line)
         if line.startswith("iter 10 "):
             break
-    else:
-        proc.kill()
-        raise AssertionError(f"never reached iter 10: {lines[-5:]}")
     proc.send_signal(signal.SIGTERM)
     out, _ = proc.communicate(timeout=120)
     assert "checkpointing and stopping" in out
