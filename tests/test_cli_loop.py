@@ -123,3 +123,18 @@ def test_multi_bucket_training(tmp_path):
     )
     metrics = train(cfg)
     assert np.isfinite(metrics["loss"])
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    cfg = _cfg(
+        tmp_path,
+        iteration=2,
+        report_step=2,
+        checkpoint_step=0,
+        profile_dir=str(tmp_path / "prof"),
+    )
+    train(cfg)
+    import glob
+
+    files = glob.glob(str(tmp_path / "prof/**/*"), recursive=True)
+    assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz") for f in files), files

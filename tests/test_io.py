@@ -139,3 +139,15 @@ def test_segment_writer_roundtrip(tmp_path, ext):
             np.testing.assert_allclose(
                 data["scores"][off[j] : off[j + 1]], recs[eid][2]
             )
+
+
+def test_csv_weight_column(tmp_path):
+    path = str(tmp_path / "w.csv")
+    with open(path, "w") as f:
+        f.write("event_id,x,y,z,value,label,weight\n")
+        for i in range(4):
+            f.write(f"0,{i},0,0,1.0,{i % 2},{0.5 + i}\n")
+    io = CSVIO(path).initialize()
+    ev = io.read_event(0)
+    np.testing.assert_allclose(ev.weights, [0.5, 1.5, 2.5, 3.5])
+    np.testing.assert_array_equal(ev.labels, [0, 1, 0, 1])
