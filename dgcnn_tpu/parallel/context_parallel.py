@@ -53,11 +53,24 @@ def cp_masked_max_pool(x, mask, axis_name: str = POINT_AXIS):
     return jnp.where(any_valid[..., None], g, 0.0)
 
 
-def cp_graph_ops(axis_name: str = POINT_AXIS, precision=None) -> GraphOps:
-    """Ring-based kNN / gather / pool bound to a mesh axis."""
+def cp_graph_ops(
+    axis_name: str = POINT_AXIS, precision=None, use_pallas: bool | None = None
+) -> GraphOps:
+    """Ring-based kNN / gather / pool bound to a mesh axis.
+
+    ``use_pallas`` routes each ring step's block scoring through the
+    fused kernel (no (Nq, Nb) score matrices even per block). Defaults
+    to True on TPU backends, False elsewhere (the jnp path is the
+    bitwise global-oracle reference and what CPU-mesh tests exercise).
+    """
+    if use_pallas is None:
+        import jax as _jax
+
+        use_pallas = _jax.default_backend() in ("tpu", "axon")
     return GraphOps(
         knn=lambda x, k, mask: ring_knn(
-            x, k, mask, axis_name=axis_name, precision=precision
+            x, k, mask, axis_name=axis_name, precision=precision,
+            use_pallas=use_pallas,
         ),
         gather=lambda values, idx: ring_gather(values, idx, axis_name=axis_name),
         pool=lambda x, mask: cp_masked_max_pool(x, mask, axis_name),
