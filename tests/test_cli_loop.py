@@ -138,3 +138,40 @@ def test_profile_dir_writes_trace(tmp_path):
 
     files = glob.glob(str(tmp_path / "prof/**/*"), recursive=True)
     assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz") for f in files), files
+
+
+def test_inference_without_labels(tmp_path):
+    """Scoring runs on unlabeled events: write-back works, metrics are
+    meaningless-but-harmless (labels default to zeros)."""
+    import h5py
+
+    from dgcnn_tpu.io import SyntheticIO
+
+    # train briefly
+    cfg = _cfg(tmp_path, iteration=5, report_step=5, checkpoint_step=0)
+    train(cfg)
+    # unlabeled input file (canonical layout without a label dataset)
+    io = SyntheticIO(num_events=6, num_point=192, num_class=2, seed=7).initialize()
+    events = [io.read_event(i) for i in range(6)]
+    path = str(tmp_path / "unlabeled.h5")
+    pts = np.concatenate([e.points for e in events])
+    offsets = np.zeros(len(events) + 1, np.int64)
+    np.cumsum([len(e) for e in events], out=offsets[1:])
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=pts)
+        f.create_dataset("offsets", data=offsets)
+    cfg2 = _cfg(
+        tmp_path,
+        command="inference",
+        io_type="h5",
+        input_file=path,
+        model_path=str(tmp_path / "w/snap"),
+        output_file=str(tmp_path / "pred_unlabeled.h5"),
+        shuffle=False,
+        iteration=0,
+    )
+    summary = inference(cfg2)
+    assert summary["batches"] >= 1
+    with h5py.File(tmp_path / "pred_unlabeled.h5") as f:
+        assert len(f["event_ids"]) == 6
+        assert len(f["prediction"]) == sum(min(len(e), 192) for e in events)
