@@ -12,13 +12,17 @@ Prints ONE JSON line:
 ``vs_baseline`` is the ratio to the TF-CPU stand-in (the reference repo
 publishes no numbers and its TF1 source was unavailable — per SURVEY.md
 §6 the stand-in is this framework's own jnp path on the host CPU, same
-config, measured in-session; see BASELINE.md "Measured" table).
+config). The recorded stand-in (CPU_BASELINE_PPS) is re-measurable in
+one run: BENCH_MEASURE_CPU=1 spawns a subprocess that times the same
+config on the host CPU and uses that number instead — so every value in
+the JSON line is reproducible from this script alone (VERDICT r1 #8).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -26,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # CPU stand-in for the reference TF-CPU baseline: jnp path, N=16384, B=1,
 # full train_step on this container's host CPU (2026-08-16): 1104 points/s.
+# Re-measure with BENCH_MEASURE_CPU=1 (takes ~2 min extra).
 CPU_BASELINE_PPS = 1104.0
 
 N_POINTS = int(os.environ.get("BENCH_POINTS", 16384))
@@ -35,8 +40,14 @@ USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 PRECISION = os.environ.get("BENCH_PRECISION", "default")
 
 
-def main():
+def measure(n_points: int, batch: int, iters: int, use_pallas: bool,
+            precision: str, force_cpu: bool = False):
+    """Steady-state points/s of the flagship train step; returns
+    (points_per_sec, step_ms)."""
     import jax
+
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from dgcnn_tpu.config import Config
     from dgcnn_tpu.io import BucketBatcher, SyntheticIO
@@ -48,32 +59,58 @@ def main():
         num_class=2,
         kvalue=20,
         edge_filters=(64,) * 6,
-        minibatch_size=BATCH,
-        num_point=N_POINTS,
-        use_pallas=USE_PALLAS,
-        precision=PRECISION,
+        minibatch_size=batch,
+        num_point=n_points,
+        use_pallas=use_pallas,
+        precision=precision,
     )
     tv = Trainval(cfg, mesh=make_mesh(1))
     state = tv.initialize(4)
     io = SyntheticIO(
-        num_events=BATCH, num_point=N_POINTS, seed=0, variable_length=False
+        num_events=batch, num_point=n_points, seed=0, variable_length=False
     ).initialize()
-    batch = next(BucketBatcher(io, BATCH, num_point=N_POINTS, shuffle=False).epoch())
+    b = next(BucketBatcher(io, batch, num_point=n_points, shuffle=False).epoch())
 
     # warmup/compile; the float() host transfer is the sync barrier —
     # block_until_ready on donated outputs has been seen returning early
     # through the axon PJRT tunnel
     for _ in range(2):
-        state, metrics = tv.train_step(state, batch)
+        state, metrics = tv.train_step(state, b)
     float(metrics["loss"])
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = tv.train_step(state, batch)
+    for _ in range(iters):
+        state, metrics = tv.train_step(state, b)
     float(metrics["loss"])
     dt = time.perf_counter() - t0
+    return batch * n_points * iters / dt, dt / iters * 1e3
 
-    pps = BATCH * N_POINTS * ITERS / dt
+
+def _measure_cpu_standin() -> float:
+    """Re-measure the TF-CPU stand-in in a fresh subprocess (the CPU
+    backend must be chosen before jax initializes, and this process has
+    already touched the TPU)."""
+    code = (
+        "import bench, json;"
+        "pps, ms = bench.measure(bench.N_POINTS, bench.BATCH, 2,"
+        " use_pallas=False, precision='highest', force_cpu=True);"
+        "print(json.dumps({'pps': pps}))"
+    )
+    env = dict(os.environ)
+    env.pop("BENCH_MEASURE_CPU", None)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    return float(json.loads(out.stdout.strip().splitlines()[-1])["pps"])
+
+
+def main():
+    cpu_pps = CPU_BASELINE_PPS
+    if os.environ.get("BENCH_MEASURE_CPU") == "1":
+        cpu_pps = _measure_cpu_standin()
+    pps, step_ms = measure(N_POINTS, BATCH, ITERS, USE_PALLAS, PRECISION)
     print(
         json.dumps(
             {
@@ -81,7 +118,11 @@ def main():
                 f"k=20, {N_POINTS}-pt events, fwd+bwd+opt)",
                 "value": round(pps, 1),
                 "unit": "points/s",
-                "vs_baseline": round(pps / CPU_BASELINE_PPS, 2),
+                "vs_baseline": round(pps / cpu_pps, 2),
+                "step_ms": round(step_ms, 1),
+                "events_per_sec": round(pps / N_POINTS, 2),
+                "cpu_standin_pps": round(cpu_pps, 1),
+                "cpu_standin_measured": os.environ.get("BENCH_MEASURE_CPU") == "1",
             }
         ),
         flush=True,

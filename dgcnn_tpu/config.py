@@ -64,6 +64,7 @@ class Config:
     shuffle: bool = True
     buckets: tuple = (1024, 4096, 16384, 32768)
     prefetch: int = 2
+    crop_mode: str = "random"  # oversized-event crop: random | stride
     # checkpoint / logging
     model_path: str = ""
     weight_prefix: str = "weights/snapshot"
@@ -184,6 +185,11 @@ def _add_common_flags(p: argparse.ArgumentParser):
                    default=[1024, 4096, 16384, 32768])
     g.add_argument("--prefetch", type=int, default=2)
     g.add_argument("--no_shuffle", dest="shuffle", action="store_false")
+    g.add_argument("--crop_mode", default="random",
+                   choices=["random", "stride"],
+                   help="oversized-event subsampling: seeded stratified "
+                   "random (default) or deterministic stride; identical "
+                   "across all readers incl. the C++ DGB path")
 
     g = p.add_argument_group("run")
     g.add_argument("--seed", type=int, default=123)

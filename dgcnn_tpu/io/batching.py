@@ -47,12 +47,17 @@ def _round_up(n: int, m: int = LANE) -> int:
 def pad_events(
     events: Sequence[Event],
     n_pad: int,
-    rng: Optional[np.random.RandomState] = None,
     crop: Optional[int] = None,
+    crop_mode: str = "random",
+    seed: int = 0,
 ) -> Batch:
-    """Stack events into (B, n_pad, ...), cropping (random subsample) events
-    longer than ``crop`` (default ``n_pad``) — the reference's fixed-N
-    selection [M] — and zero-padding shorter ones."""
+    """Stack events into (B, n_pad, ...), cropping events longer than
+    ``crop`` (default ``n_pad``) with the canonical policy (`io.crop`) —
+    the reference's fixed-N selection [M] — and zero-padding shorter
+    ones. Crop selection depends only on (crop_mode, seed, event id), so
+    every reader produces identical batch bytes."""
+    from dgcnn_tpu.io.crop import crop_select
+
     b = len(events)
     crop = min(crop or n_pad, n_pad)
     f = events[0].points.shape[1]
@@ -69,12 +74,7 @@ def pad_events(
     for i, ev in enumerate(events):
         n = len(ev)
         if n > crop:
-            sel = (
-                rng.choice(n, crop, replace=False)
-                if rng is not None
-                else np.arange(crop)
-            )
-            sel.sort()
+            sel = crop_select(n, crop, crop_mode, seed, int(ev.id))
         else:
             sel = slice(None)
         take = ev.points[sel]
@@ -108,15 +108,25 @@ class BucketBatcher:
         shuffle: bool = True,
         seed: int = 0,
         drop_remainder: bool = False,
+        crop_mode: str = "random",
     ):
         self.io = io
         self.batch_size = batch_size
         self.buckets = sorted(_round_up(int(x)) for x in buckets)
         self.num_point = num_point
         self.shuffle = shuffle
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
         self.drop_remainder = drop_remainder
+        self.crop_mode = crop_mode
         self._lengths = None
+
+    def reseed(self, seed: int) -> None:
+        """Re-key the shuffle stream (e.g. fold the resume step into the
+        seed so a resumed run continues with fresh batch order instead of
+        re-walking the epoch from the beginning)."""
+        self.seed = seed
+        self.rng = np.random.RandomState(seed)
 
     def _bucket_for(self, max_len: int) -> int:
         if self.num_point > 0:
@@ -174,14 +184,21 @@ class BucketBatcher:
                 n_pad = self._bucket_for(self.num_point)
             if native_batch is not None:
                 # reader-side batch assembly (C++ threaded path for DGB)
-                batch = native_batch(ids, n_pad, crop=self.num_point or 0)
+                batch = native_batch(
+                    ids,
+                    n_pad,
+                    crop=self.num_point or 0,
+                    crop_mode=self.crop_mode,
+                    seed=self.seed,
+                )
             else:
                 events = [self.io.read_event(i) for i in ids]
                 batch = pad_events(
                     events,
                     n_pad,
-                    self.rng if self.shuffle else None,
                     crop=self.num_point or None,
+                    crop_mode=self.crop_mode,
+                    seed=self.seed,
                 )
             if n_live < self.batch_size:
                 batch.mask[n_live:] = False

@@ -61,7 +61,7 @@ def write_dgb(path: str, events) -> None:
 class DGBIO(IOBase):
     """Reader over a DGB file; C++ fast path with Python mmap fallback."""
 
-    def __init__(self, path, data_key="", label_key="", weight_key=""):
+    def __init__(self, path):
         self.path = path
         self._lib = None
         self._handle = None
@@ -70,12 +70,15 @@ class DGBIO(IOBase):
     # ------------------------------------------------------------ lifecycle
 
     def initialize(self):
+        # validate via the Python view FIRST: it rejects corrupt files
+        # (bad magic, truncation, non-monotonic offsets) before any native
+        # handle exists, so a raise never leaks the C++ mmap
+        self._init_python_view()
         self._lib = native.load()
         if self._lib is not None:
             self._handle = self._lib.dgb_open(self.path.encode())
             if not self._handle:
                 self._lib = None  # corrupt header etc. → python path reports
-        self._init_python_view()
         return self
 
     def _init_python_view(self):
@@ -92,6 +95,12 @@ class DGBIO(IOBase):
             raise ValueError(f"{self.path}: truncated DGB file")
         self._offsets = mm[pos : pos + (e + 1) * 8].view(np.uint64)
         pos += (e + 1) * 8
+        # reject non-monotonic offsets: a corrupt table would make
+        # offsets[i+1]-offsets[i] wrap to a huge unsigned count and drive
+        # out-of-bounds reads in either reader (this view initializes even
+        # when the C++ fast path is active, so it guards both)
+        if int(self._offsets[0]) != 0 or np.any(np.diff(self._offsets.astype(np.int64)) < 0):
+            raise ValueError(f"{self.path}: corrupt DGB offsets table")
         total = int(self._offsets[-1])
         expect = (
             pos
@@ -151,9 +160,20 @@ class DGBIO(IOBase):
             ),
         )
 
-    def read_batch(self, event_ids, n_pad: int, crop: int = 0) -> Batch:
+    def read_batch(
+        self,
+        event_ids,
+        n_pad: int,
+        crop: int = 0,
+        crop_mode: str = "random",
+        seed: int = 0,
+    ) -> Batch:
         """Assemble a padded batch. Native path: one C++ worker thread per
-        event, memcpy from the mmap, no per-event Python objects."""
+        event, memcpy from the mmap, no per-event Python objects. Both
+        paths implement the canonical crop policy (`io.crop.crop_select`)
+        bit-identically."""
+        from dgcnn_tpu.io.crop import CROP_MODES, crop_select
+
         ids = np.ascontiguousarray(event_ids, np.int64)
         b = len(ids)
         points = np.empty((b, n_pad, self._f), np.float32)
@@ -165,6 +185,7 @@ class DGBIO(IOBase):
         )
         mask8 = np.empty((b, n_pad), np.uint8)
         lengths = np.empty((b,), np.int64)
+        mode_id = CROP_MODES.index(crop_mode)  # 0=random, 1=stride
         if self.native_active:
             rc = self._lib.dgb_read_batch(
                 self._handle,
@@ -172,7 +193,8 @@ class DGBIO(IOBase):
                 b,
                 n_pad,
                 crop or n_pad,
-                None,
+                mode_id,
+                ctypes.c_uint64(seed & 0xFFFFFFFFFFFFFFFF),
                 points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 (
@@ -200,8 +222,7 @@ class DGBIO(IOBase):
                 if n <= eff_crop:
                     sel = slice(None)
                 else:
-                    # same deterministic stride subsample as the C++ path
-                    sel = (np.arange(m, dtype=np.int64) * n) // m
+                    sel = crop_select(n, m, crop_mode, seed, int(eid))
                 points[j, :m] = ev.points[sel]
                 if ev.labels is not None:
                     labels[j, :m] = ev.labels[sel]

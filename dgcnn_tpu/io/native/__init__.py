@@ -66,10 +66,11 @@ def load():
         lib.dgb_read_batch.argtypes = [
             ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.c_void_p,
+            ctypes.c_int64,   # batch
+            ctypes.c_int64,   # n_pad
+            ctypes.c_int64,   # crop
+            ctypes.c_int32,   # crop_mode (0=random, 1=stride)
+            ctypes.c_uint64,  # seed
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float),

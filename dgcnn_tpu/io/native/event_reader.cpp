@@ -22,7 +22,8 @@
 //
 // Exposed C ABI (ctypes-friendly; see native/__init__.py):
 //   dgb_open / dgb_close / dgb_info / dgb_event_bounds
-//   dgb_read_batch — crop (deterministic stride subsample) + pad + stack
+//   dgb_read_batch — crop (canonical policy: stratified-random | stride)
+//                    + pad + stack
 //
 // Build: g++ -O3 -march=native -shared -fPIC -pthread event_reader.cpp
 //        -o libdgbio.so
@@ -55,6 +56,27 @@ struct DgbFile {
 };
 
 constexpr uint32_t kMagic = 0x31424744;  // "DGB1"
+
+// splitmix64 finalizer — MUST stay bit-identical to io/crop.py::_sm64
+// (cross-path crop bit-exactness is tested).
+inline uint64_t sm64(uint64_t z) {
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+  return z ^ (z >> 31);
+}
+
+constexpr uint64_t kPhi = 0x9E3779B97F4A7C15ULL;
+
+// Canonical crop policy (io/crop.py::crop_select): source row for output
+// row j when cropping n -> m. mode 0 = stratified random, 1 = stride.
+inline int64_t crop_src(int64_t j, int64_t n, int64_t m, int mode,
+                        uint64_t base) {
+  const int64_t lo = (j * n) / m;
+  if (mode == 1) return lo;
+  const int64_t hi = ((j + 1) * n) / m;
+  const uint64_t h = sm64(base + (static_cast<uint64_t>(j) + 1) * kPhi);
+  return lo + static_cast<int64_t>(h % static_cast<uint64_t>(hi - lo));
+}
 
 }  // namespace
 
@@ -102,6 +124,23 @@ void* dgb_open(const char* path) {
   const uint8_t* p = f->base + 0x18;
   f->offsets = reinterpret_cast<const uint64_t*>(p);
   p += (f->num_events + 1) * sizeof(uint64_t);
+  // offsets must start at 0 and be non-decreasing: a corrupt table would
+  // make offsets[i+1]-offsets[i] wrap to a huge unsigned count and drive
+  // out-of-bounds memcpy in dgb_read_batch
+  if (f->offsets[0] != 0) {
+    munmap(mem, f->size);
+    ::close(fd);
+    delete f;
+    return nullptr;
+  }
+  for (uint64_t i = 0; i < f->num_events; ++i) {
+    if (f->offsets[i + 1] < f->offsets[i]) {
+      munmap(mem, f->size);
+      ::close(fd);
+      delete f;
+      return nullptr;
+    }
+  }
   const uint64_t total = f->offsets[f->num_events];
   f->points = reinterpret_cast<const float*>(p);
   p += total * f->num_features * sizeof(float);
@@ -152,8 +191,10 @@ void dgb_event_bounds(void* handle, uint64_t i, uint64_t* start,
 //   event_ids [batch]   events to load
 //   n_pad               padded point count (output row stride)
 //   crop                max points kept per event (<= n_pad); longer
-//                       events are subsampled with a deterministic
-//                       stride so every region of the event is covered
+//                       events are subsampled with the canonical crop
+//                       policy (see crop_src / io/crop.py)
+//   crop_mode           0 = stratified random (seeded), 1 = stride
+//   seed                crop seed (combined with the event id)
 //   out_points  [batch, n_pad, F]  (zero-filled padding)
 //   out_labels  [batch, n_pad]     (zeros if absent)
 //   out_weights [batch, n_pad]     (zeros if absent; pass nullptr to skip)
@@ -162,9 +203,10 @@ void dgb_event_bounds(void* handle, uint64_t i, uint64_t* start,
 //
 // Returns 0 on success, -1 on bad event id.
 int dgb_read_batch(void* handle, const int64_t* event_ids, int64_t batch,
-                   int64_t n_pad, int64_t crop, const float* /*unused*/,
-                   float* out_points, int32_t* out_labels, float* out_weights,
-                   uint8_t* out_mask, int64_t* out_lengths) {
+                   int64_t n_pad, int64_t crop, int32_t crop_mode,
+                   uint64_t seed, float* out_points, int32_t* out_labels,
+                   float* out_weights, uint8_t* out_mask,
+                   int64_t* out_lengths) {
   auto* f = static_cast<DgbFile*>(handle);
   const int64_t F = f->num_features;
   std::atomic<int> rc{0};
@@ -196,9 +238,11 @@ int dgb_read_batch(void* handle, const int64_t* event_ids, int64_t batch,
       if (dst_w && f->weights)
         std::memcpy(dst_w, f->weights + lo, sizeof(float) * n);
     } else {
-      // deterministic stride subsample: row j -> floor(j * n / m)
+      // canonical subsample — bit-identical to io/crop.py::crop_select
+      const uint64_t base =
+          sm64((seed ^ (static_cast<uint64_t>(eid) * kPhi)) + kPhi);
       for (int64_t j = 0; j < m; ++j) {
-        const int64_t src = lo + (j * n) / m;
+        const int64_t src = lo + crop_src(j, n, m, crop_mode, base);
         std::memcpy(dst_p + j * F, f->points + src * F, sizeof(float) * F);
         if (dst_l && f->labels) dst_l[j] = f->labels[src];
         if (dst_w && f->weights) dst_w[j] = f->weights[src];

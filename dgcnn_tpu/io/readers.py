@@ -206,7 +206,7 @@ class CSVIO(IOBase):
 
     COLUMNS = ("event_id", "x", "y", "z", "value", "label", "weight")
 
-    def __init__(self, path, data_key="", label_key="", weight_key=""):
+    def __init__(self, path):
         self.path = path
         self._events = []
 
@@ -268,12 +268,25 @@ def io_factory(cfg) -> IOBase:
             "  python -m dgcnn_tpu.io.convert csv2dgb dump.csv events.dgb\n"
             "and train with -io dgb -if events.dgb (or csv2h5 / csv2npz)."
         )
-    if kind == "dgb":
+    if kind in ("dgb", "csv"):
+        # fixed-layout formats: key flags don't apply — reject loudly
+        # instead of silently ignoring a user's --data_key/--label_key
+        if (
+            cfg.data_key not in ("", "data")
+            or cfg.label_key not in ("", "label")
+            or cfg.weight_key
+        ):
+            raise ValueError(
+                f"io_type={kind}: data_key/label_key/weight_key do not "
+                f"apply (the {kind.upper()} layout is fixed); drop the "
+                f"key flags or use -io h5/npz"
+            )
+        if kind == "csv":
+            return CSVIO(cfg.input_file)
         from dgcnn_tpu.io.dgb import DGBIO
 
-        cls = DGBIO
-    else:
-        cls = {"h5": H5IO, "npz": NPZIO, "csv": CSVIO}.get(kind)
+        return DGBIO(cfg.input_file)
+    cls = {"h5": H5IO, "npz": NPZIO}.get(kind)
     if cls is None:
         raise ValueError(f"unknown io_type {kind!r}")
     return cls(cfg.input_file, cfg.data_key, cfg.label_key, cfg.weight_key)

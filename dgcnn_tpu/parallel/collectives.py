@@ -21,11 +21,6 @@ def pmean_data(x):
     return jax.lax.pmean(x, DATA_AXIS)
 
 
-def pmean_grads(grads):
-    """Tower-gradient averaging (reference `average_gradients` analog)."""
-    return jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, DATA_AXIS), grads)
-
-
 def all_gather_points(x, axis: int = 0, tiled: bool = True):
     return jax.lax.all_gather(x, POINT_AXIS, axis=axis, tiled=tiled)
 

@@ -67,6 +67,22 @@ def _mismatch_error(path, payload, err):
     )
 
 
+def peek(path: str):
+    """Raw state-dict + step + config, without a pytree template.
+
+    For consumers that must inspect shapes before building the model —
+    e.g. serving export derives ``in_dim`` from the first EdgeConv weight
+    instead of assuming F=4."""
+    if not os.path.exists(path):
+        cand = latest(path)
+        if cand is None:
+            raise FileNotFoundError(f"no checkpoint at {path!r}")
+        path = cand
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    return payload["tree"], int(payload["step"]), json.loads(payload["config"])
+
+
 def restore_subtrees(path: str, templates: dict):
     """Load only named top-level entries (e.g. params/model_state) — for
     consumers that don't carry optimizer state (inference, serving

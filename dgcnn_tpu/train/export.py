@@ -66,21 +66,30 @@ def run_export(cfg) -> str:
     if not cfg.output_file:
         raise ValueError("export requires --output_file")
     # only params + BN state matter for serving — optimizer/schedule flags
-    # of the original run are irrelevant here
+    # of the original run are irrelevant here. in_dim comes from the
+    # checkpoint itself: the first EdgeConv weight is (2*in_dim, C_out),
+    # so a model trained on F!=4 events exports correctly.
+    raw, _, _ = checkpoint.peek(cfg.model_path)
+    try:
+        in_dim = int(raw["params"]["blocks"]["0"]["w"].shape[0]) // 2
+    except (KeyError, AttributeError) as e:
+        raise ValueError(
+            f"cannot derive in_dim from checkpoint {cfg.model_path!r}: {e}"
+        ) from e
     model = get_model(cfg.model_name, cfg.model_spec())
-    params0, mstate0 = model.init(jax.random.PRNGKey(0), 4)
+    params0, mstate0 = model.init(jax.random.PRNGKey(0), in_dim)
     loaded, step, _ = checkpoint.restore_subtrees(
         cfg.model_path, {"params": params0, "model_state": mstate0}
     )
     state = types.SimpleNamespace(
         params=loaded["params"], model_state=loaded["model_state"]
     )
-    blob = export_model(cfg, state, in_dim=4, batch=cfg.minibatch_size)
+    blob = export_model(cfg, state, in_dim=in_dim, batch=cfg.minibatch_size)
     with open(cfg.output_file, "wb") as f:
         f.write(blob)
     print(
         f"exported step-{step} model ({len(blob)/1e6:.2f} MB, shapes "
-        f"[{cfg.minibatch_size},{cfg.num_point},4]) -> {cfg.output_file}",
+        f"[{cfg.minibatch_size},{cfg.num_point},{in_dim}]) -> {cfg.output_file}",
         flush=True,
     )
     return cfg.output_file

@@ -41,12 +41,29 @@ class CSVData:
             self._keys = existing_header or list(row.keys())
             if existing_header is None:
                 self._file.write(",".join(self._keys) + "\n")
+        extra = [k for k in row if k not in self._keys]
+        if extra:
+            # a resumed run gained columns (e.g. --val_file added): extend
+            # the header and pad history instead of silently dropping them
+            self._extend_header(extra)
         vals = [row.get(k, "") for k in self._keys]
         self._file.write(
             ",".join(f"{v:.6g}" if isinstance(v, float) else str(v) for v in vals)
             + "\n"
         )
         self._file.flush()
+
+    def _extend_header(self, extra: list):
+        self._file.close()
+        with open(self.path) as f:
+            lines = f.read().splitlines()
+        self._keys = self._keys + extra
+        pad = "," * len(extra)
+        with open(self.path, "w") as f:
+            f.write(",".join(self._keys) + "\n")
+            for line in lines[1:]:
+                f.write(line + pad + "\n")
+        self._file = open(self.path, "a")
 
     def close(self):
         if self._file is not None:

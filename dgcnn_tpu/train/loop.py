@@ -35,6 +35,10 @@ def _flatten_metrics(metrics: dict) -> dict:
 def _build_io(cfg, shuffle: bool):
     io = io_factory(cfg).initialize()
     batch_size = cfg.minibatch_size
+    # epoch accounting uses the GLOBAL event count — capture it before any
+    # per-host SubsetIO wrap (per-host counts would inflate the reported
+    # epoch by process_count)
+    total_events = io.num_events()
     nproc = jax.process_count()
     if nproc > 1:
         # multi-host: each process reads its own contiguous event slice
@@ -64,9 +68,10 @@ def _build_io(cfg, shuffle: bool):
         num_point=cfg.num_point,
         shuffle=shuffle,
         seed=cfg.seed,
+        crop_mode=getattr(cfg, "crop_mode", "random"),
     )
     in_dim = io.read_event(0).points.shape[1]
-    return io, batcher, in_dim
+    return io, batcher, in_dim, total_events
 
 
 def _make_validator(cfg, tv):
@@ -158,7 +163,7 @@ class _GracefulStop:
 
 def train(cfg) -> dict:
     """Train per the flag surface; returns final metrics (for tests)."""
-    io, batcher, in_dim = _build_io(cfg, shuffle=cfg.shuffle)
+    io, batcher, in_dim, total_events = _build_io(cfg, shuffle=cfg.shuffle)
     tv = Trainval(cfg)
     state = tv.initialize(in_dim)
     validator = _make_validator(cfg, tv)
@@ -169,13 +174,17 @@ def train(cfg) -> dict:
     if restore_from:
         state, start_step, _ = checkpoint.restore(restore_from, state)
         state = state._replace(step=jax.numpy.asarray(start_step, jax.numpy.int32))
+        # fold the resume step into the shuffle seed: a resumed run must
+        # continue with a fresh batch order, not re-train on the epoch's
+        # first batches again (round-1 ADVICE)
+        batcher.reseed(cfg.seed + start_step)
         print(f"restored checkpoint at step {start_step}", flush=True)
 
     reporter = Reporter(
         cfg.log_dir, "train", tensorboard=cfg.tensorboard, append=start_step > 0
     )
     prof = maybe_start_profiler(cfg.profile_dir)
-    events_per_epoch = max(io.num_events(), 1)
+    events_per_epoch = max(total_events, 1)
     metrics = {}
     it = start_step
     stream = prefetch(batcher.forever(), cfg.prefetch)
@@ -192,10 +201,15 @@ def train(cfg) -> dict:
                 if validator is not None:
                     row.update(validator(state))
                 reporter.report(it, epoch, row)
+            # multi-host: only process 0 writes (state is replicated, and
+            # concurrent writers to the same {path}.tmp on a shared
+            # filesystem could interleave into a torn checkpoint)
             if cfg.checkpoint_step and it % cfg.checkpoint_step == 0:
-                checkpoint.save(cfg.weight_prefix, it, state, vars(cfg))
-        path = checkpoint.save(cfg.weight_prefix, it, state, vars(cfg))
-        print(f"saved final checkpoint {path}", flush=True)
+                if jax.process_index() == 0:
+                    checkpoint.save(cfg.weight_prefix, it, state, vars(cfg))
+        if jax.process_index() == 0:
+            path = checkpoint.save(cfg.weight_prefix, it, state, vars(cfg))
+            print(f"saved final checkpoint {path}", flush=True)
     finally:
         stopper.uninstall()
         # stop + join the prefetch worker BEFORE tearing down the reader
@@ -214,7 +228,7 @@ def inference(cfg) -> dict:
             "multi-host inference write-back is not supported yet; run "
             "inference single-host (it fits one host by construction)"
         )
-    io, batcher, in_dim = _build_io(cfg, shuffle=False)
+    io, batcher, in_dim, _ = _build_io(cfg, shuffle=False)
     tv = Trainval(cfg)
     state = tv.initialize(in_dim)
     if not cfg.model_path:

@@ -57,7 +57,7 @@ def test_csv_roundtrip(tmp_path):
 
 def test_pad_events_crop_and_pad():
     events = _make_events(3)
-    batch = pad_events(events, 256, np.random.RandomState(0))
+    batch = pad_events(events, 256, crop_mode="random", seed=0)
     assert batch.points.shape == (3, 256, 4)
     for i, e in enumerate(events):
         m = min(len(e), 256)
