@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Convergence benchmark: the accuracy north star, made recordable.
+
+BASELINE.json's accuracy target ("bit-comparable mIoU") is operationalized
+locally (SURVEY.md §4): the frozen-oracle fixture pins model *semantics*;
+this benchmark pins training *quality* — fixed synthetic dataset + seed,
+fixed flagship config, N steps → loss/acc/mIoU recorded in BASELINE.md so
+later rounds cannot trade accuracy for speed invisibly. A scaled-down
+pinned version runs in CI (tests/test_convergence.py).
+
+Usage (real TPU): python benchmarks/convergence.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+STEPS = int(os.environ.get("CONV_STEPS", 300))
+N = int(os.environ.get("CONV_N", 4096))
+
+
+def run(steps=STEPS, n_point=N, edge_filters=(64,) * 6, head=(1024, (512, 256)),
+        minibatch=4, num_events=32, kvalue=20, seed=7, use_pallas=True,
+        num_devices=0):
+    import jax
+
+    from dgcnn_tpu.config import Config
+    from dgcnn_tpu.io import BucketBatcher, SyntheticIO
+    from dgcnn_tpu.ops.loss import mean_iou
+    from dgcnn_tpu.train import Trainval
+
+    cfg = Config(
+        model_name="residual-dgcnn",
+        num_class=2,
+        kvalue=kvalue,
+        edge_filters=edge_filters,
+        head_feat_dim=head[0],
+        head_mlp=head[1],
+        minibatch_size=minibatch,
+        num_point=n_point,
+        use_pallas=use_pallas,
+        iteration=steps,
+        seed=seed,
+        num_devices=num_devices,
+    )
+    tv = Trainval(cfg)
+    state = tv.initialize(4)
+    io = SyntheticIO(num_events=num_events, num_point=n_point, seed=seed).initialize()
+    batcher = BucketBatcher(io, minibatch, num_point=n_point, shuffle=True, seed=seed)
+    losses = []
+    for i, batch in enumerate(batcher.forever()):
+        if i >= steps:
+            break
+        state, metrics = tv.train_step(state, batch)
+        if (i + 1) % max(steps // 10, 1) == 0:
+            losses.append(float(metrics["loss"]))
+            print(f"step {i+1}: loss={losses[-1]:.4f}", flush=True)
+
+    # held-out eval (fresh events, eval-mode BN)
+    val_io = SyntheticIO(num_events=16, num_point=n_point, seed=seed + 1).initialize()
+    cm = np.zeros((2, 2), np.float64)
+    for batch in BucketBatcher(val_io, minibatch, num_point=n_point, shuffle=False).epoch():
+        _, _, m = tv.inference(state, batch)
+        cm += np.asarray(m["confusion"], np.float64)
+    acc = float(np.trace(cm) / cm.sum())
+    miou = float(mean_iou(cm))
+    return {"final_loss": losses[-1], "val_acc": acc, "val_miou": miou, "steps": steps}
+
+
+if __name__ == "__main__":
+    out = run()
+    print(json.dumps(out), flush=True)

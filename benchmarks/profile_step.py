@@ -29,6 +29,8 @@ from dgcnn_tpu.train import Trainval
 N = int(os.environ.get("BENCH_N", 16384))
 B = int(os.environ.get("BENCH_B", 1))
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
+REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
+ITERS = int(os.environ.get("BENCH_ITERS", 5))
 
 
 def sync(x):
@@ -36,7 +38,7 @@ def sync(x):
     np.asarray(leaf.ravel()[0])
 
 
-def timeit(name, f, *args, iters=5):
+def timeit(name, f, *args, iters=ITERS):
     r = f(*args)
     sync(r)
     t0 = time.perf_counter()
@@ -57,6 +59,7 @@ def main():
         minibatch_size=B,
         num_point=N,
         use_pallas=USE_PALLAS,
+        remat=REMAT,
     )
     tv = Trainval(cfg, mesh=make_mesh(1))
     state = tv.initialize(4)
@@ -88,8 +91,39 @@ def main():
         logits, _ = model.apply(params, mstate, x, m, train=True)
         return logits
 
+    # isolate the gather+edge+max micro-path (fwd and grad) — the VJP of
+    # the neighbor gather is a scatter-add, the 100k+-regime suspect
+    c = 64
+    rngn = np.random.RandomState(1)
+    feats = jnp.asarray(rngn.randn(B, points.shape[1], c).astype(np.float32))
+    idx0 = jax.jit(lambda x, m: knn(x, m)[0])(feats, mask)
+
+    @jax.jit
+    def gather_edge_max(q, idx):
+        from dgcnn_tpu.ops.edge import gather_neighbors
+
+        h = q[..., :, None, :] + gather_neighbors(q, idx)
+        return jnp.max(jax.nn.relu(h), axis=-2)
+
+    @jax.jit
+    def gather_edge_max_grad(q, idx):
+        return jax.grad(lambda q: gather_edge_max(q, idx).sum())(q)
+
+    timeit("gather+edge+max fwd (1 block)", gather_edge_max, feats, idx0)
+    timeit("gather+edge+max fwd+bwd (1 blk)", gather_edge_max_grad, feats, idx0)
+
     timeit("6x kNN (graph builds only)", six_knn, points, mask)
     timeit("full forward (train mode)", fwd, state.params, state.model_state, points, mask)
+
+    @jax.jit
+    def fwd_bwd(params, mstate, x, m):
+        def loss_fn(p):
+            logits, _ = model.apply(p, mstate, x, m, train=True)
+            return jnp.mean(logits * logits)
+
+        return jax.grad(loss_fn)(params)
+
+    timeit("forward+backward (no optimizer)", fwd_bwd, state.params, state.model_state, points, mask)
 
     def step(state):
         s, metrics = tv.train_step(state, batch)

@@ -94,8 +94,10 @@ class SubsetIO(IOBase):
         if name == "read_batch":
             inner = getattr(self._io, "read_batch")  # may raise AttributeError
 
-            def read_batch(event_ids, n_pad, crop=0):
-                return inner([self._lo + int(i) for i in event_ids], n_pad, crop)
+            def read_batch(event_ids, n_pad, crop=0, **kw):
+                return inner(
+                    [self._lo + int(i) for i in event_ids], n_pad, crop, **kw
+                )
 
             return read_batch
         raise AttributeError(name)

@@ -24,6 +24,7 @@ import dataclasses
 from typing import Callable, NamedTuple
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from dgcnn_tpu.models.core import (
@@ -160,6 +161,13 @@ def make_model(
 
         def block_fn(x, blk_p, blk_s):
             idx, _ = _knn(x, spec.k, mask)
+            # under remat, SAVE the neighbor indices instead of re-running
+            # the kNN kernel in backward: the graph build is stop-gradient
+            # (integer indices), so recomputing it buys nothing, and idx is
+            # tiny ((B,N,k) int32 = N/819 MB) next to the (B,N,k,C) edge
+            # tensors remat exists to avoid. Halves the kNN cost of a
+            # remat step (measured at 131k; see BASELINE.md).
+            idx = jax.ad_checkpoint.checkpoint_name(idx, "knn_idx")
             # factorized EdgeConv pre-activation h_ij = P_i + Q_j (see
             # ops.edge.edge_preact_factorized — inlined here so the gather
             # is pluggable for context parallelism); no bias: BN follows
@@ -196,10 +204,16 @@ def make_model(
             return y.astype(cdtype), bn_s
 
         if spec.remat:
-            # recompute the dynamic graph + (B,N,k,C) edge tensor in the
-            # backward pass instead of holding them in HBM — BASELINE's
-            # "on-chip dynamic graph recompute per layer"
-            block_fn = jax.checkpoint(block_fn)
+            # recompute the (B,N,k,C) edge tensor in the backward pass
+            # instead of holding it in HBM — BASELINE's "on-chip dynamic
+            # graph recompute per layer" — but keep the named knn_idx
+            # residual (see above)
+            block_fn = jax.checkpoint(
+                block_fn,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "knn_idx"
+                ),
+            )
 
         for blk_p, blk_s in zip(params["blocks"], state["blocks"]):
             y, bn_s = block_fn(x, blk_p, blk_s)

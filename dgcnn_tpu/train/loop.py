@@ -32,7 +32,13 @@ def _flatten_metrics(metrics: dict) -> dict:
     return out
 
 
-def _build_io(cfg, shuffle: bool):
+def _build_io(cfg, shuffle: bool, subset: bool = True):
+    """Reader + batcher. ``subset=True`` (training): each process reads
+    its own contiguous event slice and assembles its share of the global
+    minibatch. ``subset=False`` (inference): every process reads the full
+    file and iterates the identical batch sequence — shape and batch-count
+    synchronization across hosts is then automatic, and each process
+    feeds its device rows from its slice of the global batch."""
     io = io_factory(cfg).initialize()
     batch_size = cfg.minibatch_size
     # epoch accounting uses the GLOBAL event count — capture it before any
@@ -40,7 +46,7 @@ def _build_io(cfg, shuffle: bool):
     # epoch by process_count)
     total_events = io.num_events()
     nproc = jax.process_count()
-    if nproc > 1:
+    if nproc > 1 and subset:
         # multi-host: each process reads its own contiguous event slice
         # and assembles its share of the GLOBAL minibatch; the arrays are
         # joined into global jax.Arrays in Trainval._put_batch
@@ -180,8 +186,15 @@ def train(cfg) -> dict:
         batcher.reseed(cfg.seed + start_step)
         print(f"restored checkpoint at step {start_step}", flush=True)
 
-    reporter = Reporter(
-        cfg.log_dir, "train", tensorboard=cfg.tensorboard, append=start_step > 0
+    # metrics are global (psum) — only process 0 reports/logs (concurrent
+    # CSV writers on a shared filesystem would interleave)
+    reporter = (
+        Reporter(
+            cfg.log_dir, "train", tensorboard=cfg.tensorboard,
+            append=start_step > 0,
+        )
+        if jax.process_index() == 0
+        else None
     )
     prof = maybe_start_profiler(cfg.profile_dir)
     events_per_epoch = max(total_events, 1)
@@ -200,7 +213,8 @@ def train(cfg) -> dict:
                 row = _flatten_metrics(metrics)
                 if validator is not None:
                     row.update(validator(state))
-                reporter.report(it, epoch, row)
+                if reporter is not None:
+                    reporter.report(it, epoch, row)
             # multi-host: only process 0 writes (state is replicated, and
             # concurrent writers to the same {path}.tmp on a shared
             # filesystem could interleave into a torn checkpoint)
@@ -216,19 +230,47 @@ def train(cfg) -> dict:
         # (a DGB munmap under a mid-copy worker is a use-after-unmap)
         stream.close()
         maybe_stop_profiler(prof)
-        reporter.close()
+        if reporter is not None:
+            reporter.close()
         io.finalize()
     return _flatten_metrics(metrics)
 
 
+def _local_batch_rows(batch, pid: int, nproc: int):
+    """This process's contiguous row slice of a global batch (multi-host
+    inference: every host builds the same global batch; compute feeds each
+    host its device rows)."""
+    import dataclasses
+
+    b = batch.points.shape[0]
+    lb = b // nproc
+    lo, hi = pid * lb, (pid + 1) * lb
+    return dataclasses.replace(
+        batch,
+        points=batch.points[lo:hi],
+        labels=batch.labels[lo:hi],
+        weights=None if batch.weights is None else batch.weights[lo:hi],
+        mask=batch.mask[lo:hi],
+        event_ids=batch.event_ids[lo:hi],
+        lengths=batch.lengths[lo:hi],
+    )
+
+
 def inference(cfg) -> dict:
-    """Inference + per-event prediction write-back; returns summary metrics."""
-    if jax.process_count() > 1:
-        raise NotImplementedError(
-            "multi-host inference write-back is not supported yet; run "
-            "inference single-host (it fits one host by construction)"
+    """Inference + per-event prediction write-back; returns summary metrics.
+
+    Multi-host: every process iterates the full input file (identical
+    batch sequence — no cross-host shape drift), computes on its slice of
+    each global batch, and the eval step all-gathers predictions so
+    process 0 holds every event for write-back.
+    """
+    nproc, pid = jax.process_count(), jax.process_index()
+    io, batcher, in_dim, _ = _build_io(cfg, shuffle=False, subset=False)
+    if nproc > 1 and cfg.minibatch_size % nproc:
+        raise ValueError(
+            f"minibatch_size={cfg.minibatch_size} not divisible by "
+            f"process_count={nproc}"
         )
-    io, batcher, in_dim, _ = _build_io(cfg, shuffle=False)
     tv = Trainval(cfg)
     state = tv.initialize(in_dim)
     if not cfg.model_path:
@@ -239,8 +281,9 @@ def inference(cfg) -> dict:
     state, step = tv.restore_for_eval(state, cfg.model_path)
     print(f"restored checkpoint at step {step}", flush=True)
 
-    writer = SegmentWriter(cfg.output_file) if cfg.output_file else None
-    reporter = Reporter(cfg.log_dir, "inference", tensorboard=cfg.tensorboard)
+    is_lead = pid == 0
+    writer = SegmentWriter(cfg.output_file) if cfg.output_file and is_lead else None
+    reporter = Reporter(cfg.log_dir, "inference", tensorboard=cfg.tensorboard) if is_lead else None
     cm_total = np.zeros((cfg.num_class, cfg.num_class), np.float64)
     n_batches = 0
     t0 = time.perf_counter()
@@ -249,7 +292,9 @@ def inference(cfg) -> dict:
         for batch in stream:
             if cfg.iteration and n_batches >= cfg.iteration:
                 break
-            scores, pred, metrics = tv.inference(state, batch)
+            local = batch if nproc == 1 else _local_batch_rows(batch, pid, nproc)
+            # eval outputs are all-gathered/replicated: full global batch
+            scores, pred, metrics = tv.inference(state, local)
             cm_total += np.asarray(metrics["confusion"], np.float64)
             n_batches += 1
             if writer is not None:
@@ -262,10 +307,12 @@ def inference(cfg) -> dict:
                         pred_h[i, :n_valid],
                         scores_h[i, :n_valid],
                     )
-            reporter.report(n_batches, 0.0, {"loss": float(metrics["loss"])})
+            if reporter is not None:
+                reporter.report(n_batches, 0.0, {"loss": float(metrics["loss"])})
     finally:
         stream.close()
-        reporter.close()
+        if reporter is not None:
+            reporter.close()
         io.finalize()
     if writer is not None:
         writer.finalize()
@@ -275,9 +322,10 @@ def inference(cfg) -> dict:
     miou = float(mean_iou(cm_total))
     pca = np.asarray(per_class_accuracy(cm_total))
     dt = time.perf_counter() - t0
-    print(
-        f"inference: {n_batches} batches in {dt:.2f}s  acc={acc:.4f} "
-        f"mIoU={miou:.4f} per-class={np.round(pca, 4).tolist()}",
-        flush=True,
-    )
+    if is_lead:
+        print(
+            f"inference: {n_batches} batches in {dt:.2f}s  acc={acc:.4f} "
+            f"mIoU={miou:.4f} per-class={np.round(pca, 4).tolist()}",
+            flush=True,
+        )
     return {"acc": acc, "miou": miou, "batches": n_batches}

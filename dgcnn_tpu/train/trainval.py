@@ -248,6 +248,14 @@ class Trainval:
             p1h = (pred.reshape(-1)[:, None] == cls).astype(jnp.float32)
             cm = jax.lax.psum(t1h.T @ p1h, axes)
             loss = loss_sum / jnp.maximum(w_sum, 1e-9)
+            # gather predictions to every replica: write-back needs the
+            # whole batch host-addressable (multi-host inference collects
+            # on process 0); a no-op on a single device, cheap at eval
+            # batch sizes otherwise
+            scores = jax.lax.all_gather(scores, DATA_AXIS, axis=0, tiled=True)
+            scores = jax.lax.all_gather(scores, POINT_AXIS, axis=1, tiled=True)
+            pred = jax.lax.all_gather(pred, DATA_AXIS, axis=0, tiled=True)
+            pred = jax.lax.all_gather(pred, POINT_AXIS, axis=1, tiled=True)
             return scores, pred, loss, w_sum, cm
 
         bspec = self._batch_spec
@@ -255,7 +263,11 @@ class Trainval:
             device_eval,
             mesh=self.mesh,
             in_specs=(P(), P(), bspec, bspec, bspec, bspec),
-            out_specs=(bspec, bspec, P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
+            # the tiled all_gathers above make every output replicated,
+            # but the static vma checker cannot infer that for gathered
+            # values — replication is asserted by the multi-host tests
+            check_vma=False,
         )
         return jax.jit(smapped)
 

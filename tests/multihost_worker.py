@@ -1,0 +1,95 @@
+"""Worker process for the two-process multi-host tests (not a test file).
+
+Usage: python multihost_worker.py <pid> <nproc> <port> <workdir>
+
+Configures a 4-CPU-device backend, joins a gloo-backed jax.distributed
+pair, then:
+  A) trainval-level: 3 train steps on ONE fixed global batch (each process
+     feeds its local rows) — losses must match the single-process run of
+     the same batch bit-closely (device/process-count invariance);
+  B) loop-level: `train()` over per-host SubsetIO slices + checkpoint,
+     then multi-host `inference()` with write-back gathered on process 0.
+Results are printed as one JSON line prefixed RESULT: .
+"""
+
+import json
+import os
+import sys
+
+pid, nproc, port, workdir = (
+    int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid
+)
+assert jax.process_count() == nproc and jax.device_count() == 4 * nproc
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from dgcnn_tpu.config import Config
+from dgcnn_tpu.io import BucketBatcher, SyntheticIO
+from dgcnn_tpu.train.loop import _local_batch_rows, inference, train
+from dgcnn_tpu.train.trainval import Trainval
+
+SMALL = dict(
+    io_type="synthetic",
+    num_class=2,
+    kvalue=6,
+    edge_filters=(8, 8),
+    head_feat_dim=16,
+    head_mlp=(16,),
+    minibatch_size=8,
+    num_point=256,
+    use_pallas=False,
+    precision="highest",
+    seed=11,
+)
+
+out = {"pid": pid}
+
+# ---- A: fixed-global-batch trainval invariance ---------------------------
+cfg = Config(command="train", iteration=3, **SMALL)
+io = SyntheticIO(num_events=8, num_point=256, seed=3).initialize()
+batch = next(BucketBatcher(io, 8, num_point=256, shuffle=False).epoch())
+tv = Trainval(cfg)
+state = tv.initialize(in_dim=4)
+losses = []
+for _ in range(3):
+    state, metrics = tv.train_step(state, _local_batch_rows(batch, pid, nproc))
+    losses.append(float(metrics["loss"]))
+out["losses"] = losses
+out["param_sum"] = float(
+    sum(float(np.abs(np.asarray(x)).sum()) for x in jax.tree_util.tree_leaves(state.params))
+)
+
+# ---- B: loop-level train (SubsetIO) + multi-host inference write-back ----
+prefix = os.path.join(workdir, "w", "s")
+pred_path = os.path.join(workdir, "pred.npz")
+cfg_train = Config(
+    command="train", iteration=4, report_step=2, checkpoint_step=0,
+    weight_prefix=prefix, log_dir=os.path.join(workdir, f"log{pid}"),
+    shuffle=False, **SMALL,
+)
+m = train(cfg_train)
+out["train_loss"] = m["loss"]
+
+import jax.experimental.multihost_utils as mhu
+
+mhu.sync_global_devices("after_train")  # proc 0 wrote the checkpoint
+cfg_inf = Config(
+    command="inference", iteration=0, model_path=prefix + "-4.ckpt",
+    output_file=pred_path, log_dir=os.path.join(workdir, f"log{pid}"),
+    shuffle=False, **SMALL,
+)
+inf = inference(cfg_inf)
+out["inf_acc"] = inf["acc"]
+out["inf_batches"] = inf["batches"]
+print("RESULT:" + json.dumps(out), flush=True)

@@ -1,0 +1,100 @@
+"""Multi-host (2-process) training and inference — real jax.distributed
+over gloo on CPU, exercising SubsetIO + host_event_range +
+make_array_from_process_local_data + process-0 write-back (SURVEY.md §2.2
+multi-host row; VERDICT round 1 next-step #4)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from dgcnn_tpu.config import Config
+from dgcnn_tpu.io import BucketBatcher, SyntheticIO
+from dgcnn_tpu.train.trainval import Trainval
+
+WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "multihost_worker.py")
+
+SMALL = dict(
+    io_type="synthetic",
+    num_class=2,
+    kvalue=6,
+    edge_filters=(8, 8),
+    head_feat_dim=16,
+    head_mlp=(16,),
+    minibatch_size=8,
+    num_point=256,
+    use_pallas=False,
+    precision="highest",
+    seed=11,
+)
+
+
+@pytest.fixture(scope="module")
+def two_proc_results(tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("mh"))
+    port = 9500 + os.getpid() % 450
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", str(port), workdir],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=900)
+        assert p.returncode == 0, (
+            f"worker failed rc={p.returncode}\nstdout:\n{stdout}\nstderr:\n{stderr}"
+        )
+        line = [l for l in stdout.splitlines() if l.startswith("RESULT:")]
+        assert line, f"no RESULT line in:\n{stdout}"
+        outs.append(json.loads(line[0][len("RESULT:"):]))
+    return workdir, outs
+
+
+def test_two_process_matches_single_process(two_proc_results):
+    """The fixed-global-batch loss trajectory of the 2-process run equals
+    the single-process (8 local devices) run — process-count invariance
+    of the global-mean loss and the gradient all-reduce."""
+    _, outs = two_proc_results
+    # both processes report identical global metrics
+    np.testing.assert_allclose(outs[0]["losses"], outs[1]["losses"], rtol=1e-6)
+    np.testing.assert_allclose(outs[0]["param_sum"], outs[1]["param_sum"], rtol=1e-6)
+
+    # single-process reference on the same global batch (conftest gives
+    # this process 8 CPU devices)
+    cfg = Config(command="train", iteration=3, **SMALL)
+    io = SyntheticIO(num_events=8, num_point=256, seed=3).initialize()
+    batch = next(BucketBatcher(io, 8, num_point=256, shuffle=False).epoch())
+    tv = Trainval(cfg)
+    state = tv.initialize(in_dim=4)
+    ref_losses = []
+    for _ in range(3):
+        state, metrics = tv.train_step(state, batch)
+        ref_losses.append(float(metrics["loss"]))
+    np.testing.assert_allclose(outs[0]["losses"], ref_losses, rtol=2e-5)
+
+
+def test_multihost_inference_writeback_complete(two_proc_results):
+    """Process 0's write-back file contains EVERY event of the input, with
+    per-point predictions (multi-host inference gathers to process 0)."""
+    workdir, outs = two_proc_results
+    assert outs[0]["inf_batches"] == outs[1]["inf_batches"] > 0
+    z = np.load(os.path.join(workdir, "pred.npz"), allow_pickle=True)
+    offsets = z["offsets"]
+    eids = z["event_ids"]
+    # synthetic io for mb=8 generates max(8*8, 64) = 64 events
+    assert len(eids) == 64 and set(eids.tolist()) == set(range(64))
+    pred = z["prediction"]
+    assert pred.shape[0] == offsets[-1] > 0
+    assert np.isfinite(z["scores"]).all()
+
+
+def test_multihost_train_loss_finite(two_proc_results):
+    _, outs = two_proc_results
+    assert np.isfinite(outs[0]["train_loss"])
+    np.testing.assert_allclose(outs[0]["train_loss"], outs[1]["train_loss"], rtol=1e-6)
