@@ -98,13 +98,18 @@ def _make_validator(cfg, tv):
         seed=cfg.seed,
     )
 
+    nproc, pid = jax.process_count(), jax.process_index()
+
     def validate(state):
         cm = np.zeros((cfg.num_class, cfg.num_class), np.float64)
         loss_sum = w_sum = 0.0
         for i, batch in enumerate(val_batcher.epoch()):
             if cfg.val_batches and i >= cfg.val_batches:
                 break
-            _, _, m = tv.inference(state, batch)
+            # every host reads the full val file (identical batches);
+            # compute on this host's row slice of each global batch
+            local = batch if nproc == 1 else _local_batch_rows(batch, pid, nproc)
+            _, _, m = tv.inference(state, local)
             cm += np.asarray(m["confusion"], np.float64)
             # weight each batch's mean loss by its valid-point mass so
             # val_loss is a true per-point mean across buckets
