@@ -78,6 +78,11 @@ class Config:
     use_pallas: bool = True
     remat: bool = False  # rematerialize EdgeConv blocks in backward
     precision: str = "default"  # default | highest | bfloat16
+    # kNN score-matmul precision: "highest" (default) keeps neighbor
+    # indices bit-exact vs the f32 oracle; "default" runs the MXU in
+    # single-pass bf16 — ~18% faster 131k steps, may swap
+    # near-equidistant neighbors (harmless for training quality)
+    knn_precision: str = "highest"
 
     def __post_init__(self):
         if self.edge_filters is None:
@@ -115,7 +120,10 @@ class Config:
                 f"KVALUE={self.kvalue} exceeds the smallest padded event "
                 f"size {min_n} (num_point/buckets)"
             )
-        if self.minibatch_size < 1:
+        if self.minibatch_size < 1 and not (
+            self.command == "export" and self.minibatch_size == 0
+        ):
+            # export accepts -mb 0: shape-polymorphic (any-batch) artifact
             raise ValueError("MINIBATCH_SIZE must be >= 1")
         if self.num_class < 2:
             raise ValueError(f"NUM_CLASS must be >= 2, got {self.num_class}")
@@ -211,6 +219,11 @@ def _add_common_flags(p: argparse.ArgumentParser):
     g.add_argument("--no_pallas", dest="use_pallas", action="store_false")
     g.add_argument("--precision", default="default",
                    choices=["default", "highest", "bfloat16"])
+    g.add_argument("--knn_precision", default="highest",
+                   choices=["highest", "default"],
+                   help="kNN score-matmul precision: highest = bit-exact "
+                   "neighbor graph vs the f32 oracle; default = bf16 MXU "
+                   "(faster at 100k+ points, near-ties may swap)")
     g.add_argument("--remat", action="store_true",
                    help="recompute each EdgeConv block in backward "
                    "(trade FLOPs for HBM at large NUM_POINT)")

@@ -18,7 +18,11 @@ from jax import export as jexport
 
 
 def export_model(cfg, state, in_dim: int = 4, batch: int = 1):
-    """Serialize eval-mode inference at fixed (batch, num_point, in_dim).
+    """Serialize eval-mode inference at (batch, num_point, in_dim).
+
+    ``batch=0`` exports a *shape-polymorphic* artifact: the batch
+    dimension is symbolic, so one artifact serves any request batch size
+    (the point count stays static — kNN tiling and padding depend on it).
 
     Returns the serialized bytes. The callable signature of the artifact
     is ``(points f32[B,N,F], mask bool[B,N]) -> scores f32[B,N,C]``.
@@ -35,9 +39,10 @@ def export_model(cfg, state, in_dim: int = 4, batch: int = 1):
         logits, _ = model.apply(params, mstate, points, mask, train=False)
         return jax.nn.softmax(logits, axis=-1)
 
+    b = jexport.symbolic_shape("b")[0] if batch == 0 else batch
     exp = jexport.export(jax.jit(serve))(
-        jax.ShapeDtypeStruct((batch, n, in_dim), jnp.float32),
-        jax.ShapeDtypeStruct((batch, n), jnp.bool_),
+        jax.ShapeDtypeStruct((b, n, in_dim), jnp.float32),
+        jax.ShapeDtypeStruct((b, n), jnp.bool_),
     )
     return exp.serialize()
 
@@ -87,9 +92,10 @@ def run_export(cfg) -> str:
     blob = export_model(cfg, state, in_dim=in_dim, batch=cfg.minibatch_size)
     with open(cfg.output_file, "wb") as f:
         f.write(blob)
+    bdesc = "b" if cfg.minibatch_size == 0 else str(cfg.minibatch_size)
     print(
         f"exported step-{step} model ({len(blob)/1e6:.2f} MB, shapes "
-        f"[{cfg.minibatch_size},{cfg.num_point},{in_dim}]) -> {cfg.output_file}",
+        f"[{bdesc},{cfg.num_point},{in_dim}]) -> {cfg.output_file}",
         flush=True,
     )
     return cfg.output_file

@@ -76,7 +76,9 @@ class Trainval:
             knn_fn = knn_fn or ops.knn
             extra_ops = {"gather_fn": ops.gather, "pool_fn": ops.pool}
         elif knn_fn is None and cfg.use_pallas:
-            knn_fn = _maybe_pallas_knn()
+            knn_fn = _maybe_pallas_knn(
+                getattr(cfg, "knn_precision", "highest")
+            )
         self.model = get_model(
             cfg.model_name,
             cfg.model_spec(),
@@ -343,10 +345,12 @@ def _make_optimizer(name: str, lr):
     raise ValueError(f"unknown optimizer {name!r}")
 
 
-def _maybe_pallas_knn():
+def _maybe_pallas_knn(knn_precision: str = "highest"):
     """Fused Pallas kNN on TPU backends; None (jnp oracle) elsewhere —
     interpret-mode emulation off-TPU is orders of magnitude slower than
     lax.top_k and must never be a silent default."""
+    import functools
+
     import jax as _jax
 
     if _jax.default_backend() not in ("tpu", "axon"):
@@ -354,6 +358,10 @@ def _maybe_pallas_knn():
     try:
         from dgcnn_tpu.kernels.knn_pallas import knn_pallas
 
-        return knn_pallas
+        prec = {
+            "highest": _jax.lax.Precision.HIGHEST,
+            "default": _jax.lax.Precision.DEFAULT,
+        }[knn_precision]
+        return functools.partial(knn_pallas, precision=prec)
     except ImportError:
         return None

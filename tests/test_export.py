@@ -67,6 +67,44 @@ def test_export_roundtrip_matches_live(tmp_path):
     np.testing.assert_allclose(np.asarray(served), np.asarray(live), atol=1e-5)
 
 
+def test_export_polymorphic_batch(tmp_path):
+    """-mb 0 exports one artifact that serves ANY batch size."""
+    from dgcnn_tpu.models import get_model
+    from dgcnn_tpu.train.trainval import Trainval
+
+    cfg = Config(command="train", **SMALL)
+    tv = Trainval(cfg)
+    state = tv.initialize(4)
+    checkpoint.save(
+        str(tmp_path / "wp/s"), 1,
+        {"params": state.params, "model_state": state.model_state,
+         "opt_state": state.opt_state, "rng": state.rng},
+        vars(cfg),
+    )
+    exp_cfg = dataclasses.replace(
+        cfg, command="export", minibatch_size=0,
+        model_path=str(tmp_path / "wp/s"),
+        output_file=str(tmp_path / "poly.jaxir"),
+    )
+    exp_cfg.validate()  # -mb 0 is legal for export
+    path = run_export(exp_cfg)
+    served = load_exported(path)
+
+    model = get_model(cfg.model_name, cfg.model_spec())
+    rng = np.random.RandomState(2)
+    for b in (1, 3):
+        points = jnp.asarray(rng.randn(b, 128, 4).astype(np.float32))
+        mask = jnp.ones((b, 128), bool)
+        logits, _ = model.apply(
+            state.params, state.model_state, points, mask, train=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(served(points, mask)),
+            np.asarray(jax.nn.softmax(logits, -1)),
+            atol=1e-5,
+        )
+
+
 def test_export_derives_in_dim_from_checkpoint(tmp_path):
     """A checkpoint trained on F=5 events must export and serve at F=5
     (round 1 hardcoded in_dim=4 at export time — VERDICT weak #5)."""
