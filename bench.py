@@ -89,11 +89,12 @@ def measure(n_points: int, batch: int, iters: int, use_pallas: bool,
 def _measure_cpu_standin() -> float:
     """Re-measure the TF-CPU stand-in in a fresh subprocess (the CPU
     backend must be chosen before jax initializes, and this process has
-    already touched the TPU)."""
+    already touched the TPU). Same model precision as the TPU leg so
+    vs_baseline stays like-for-like (the CPU path never uses Pallas)."""
     code = (
         "import bench, json;"
         "pps, ms = bench.measure(bench.N_POINTS, bench.BATCH, 2,"
-        " use_pallas=False, precision='highest', force_cpu=True);"
+        f" use_pallas=False, precision={PRECISION!r}, force_cpu=True);"
         "print(json.dumps({'pps': pps}))"
     )
     env = dict(os.environ)
@@ -103,6 +104,11 @@ def _measure_cpu_standin() -> float:
         cwd=os.path.dirname(os.path.abspath(__file__)),
         env=env, capture_output=True, text=True, timeout=1800,
     )
+    if out.returncode != 0 or not out.stdout.strip():
+        raise RuntimeError(
+            f"CPU stand-in re-measure failed (rc={out.returncode}):\n"
+            f"{out.stderr[-2000:]}"
+        )
     return float(json.loads(out.stdout.strip().splitlines()[-1])["pps"])
 
 

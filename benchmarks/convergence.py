@@ -66,7 +66,7 @@ def run(steps=STEPS, n_point=N, edge_filters=(64,) * 6, head=(1024, (512, 256)),
     val_io = SyntheticIO(num_events=16, num_point=n_point, seed=seed + 1).initialize()
     cm = np.zeros((2, 2), np.float64)
     for batch in BucketBatcher(val_io, minibatch, num_point=n_point, shuffle=False).epoch():
-        _, _, m = tv.inference(state, batch)
+        m = tv.evaluate(state, batch)
         cm += np.asarray(m["confusion"], np.float64)
     acc = float(np.trace(cm) / cm.sum())
     miou = float(mean_iou(cm))

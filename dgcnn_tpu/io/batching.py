@@ -120,6 +120,7 @@ class BucketBatcher:
         self.drop_remainder = drop_remainder
         self.crop_mode = crop_mode
         self._lengths = None
+        self._epochs_started = 0
 
     def reseed(self, seed: int) -> None:
         """Re-key the shuffle stream (e.g. fold the resume step into the
@@ -127,6 +128,18 @@ class BucketBatcher:
         re-walking the epoch from the beginning)."""
         self.seed = seed
         self.rng = np.random.RandomState(seed)
+        self._epochs_started = 0
+
+    def _crop_seed(self) -> int:
+        """Crop-policy seed for the starting epoch. Shuffled (training)
+        streams fold the epoch counter in so an oversized event exposes a
+        DIFFERENT stratified subset each epoch (a run-constant seed would
+        silently freeze every event to one fixed crop for the whole run);
+        unshuffled (eval/inference) streams stay run-stable so metrics
+        are reproducible and comparable across invocations."""
+        if not self.shuffle:
+            return self.seed
+        return self.seed + self._epochs_started * 1_000_003
 
     def _bucket_for(self, max_len: int) -> int:
         if self.num_point > 0:
@@ -151,6 +164,8 @@ class BucketBatcher:
 
     def epoch(self) -> Iterator[Batch]:
         """One pass over the input file in batches."""
+        crop_seed = self._crop_seed()
+        self._epochs_started += 1
         n = self.io.num_events()
         order = np.arange(n)
         # event lengths are only needed for bucketing decisions; with a
@@ -189,7 +204,7 @@ class BucketBatcher:
                     n_pad,
                     crop=self.num_point or 0,
                     crop_mode=self.crop_mode,
-                    seed=self.seed,
+                    seed=crop_seed,
                 )
             else:
                 events = [self.io.read_event(i) for i in ids]
@@ -198,7 +213,7 @@ class BucketBatcher:
                     n_pad,
                     crop=self.num_point or None,
                     crop_mode=self.crop_mode,
-                    seed=self.seed,
+                    seed=crop_seed,
                 )
             if n_live < self.batch_size:
                 batch.mask[n_live:] = False

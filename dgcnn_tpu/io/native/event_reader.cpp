@@ -142,6 +142,18 @@ void* dgb_open(const char* path) {
     }
   }
   const uint64_t total = f->offsets[f->num_events];
+  // bound total BEFORE the pointer arithmetic below: a monotonic but
+  // huge offsets[E] (e.g. 2^62) would overflow total*F*sizeof(float),
+  // wrap the truncation check, and leave OOB reads reachable for direct
+  // native-API consumers
+  const uint64_t row_bytes =
+      static_cast<uint64_t>(f->num_features) * sizeof(float);
+  if (total > (f->size - 0x18) / row_bytes) {
+    munmap(mem, f->size);
+    ::close(fd);
+    delete f;
+    return nullptr;
+  }
   f->points = reinterpret_cast<const float*>(p);
   p += total * f->num_features * sizeof(float);
   if (f->flags & 1) {

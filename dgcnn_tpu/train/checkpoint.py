@@ -68,32 +68,33 @@ def _mismatch_error(path, payload, err):
 
 
 def peek(path: str):
-    """Raw state-dict + step + config, without a pytree template.
-
-    For consumers that must inspect shapes before building the model —
-    e.g. serving export derives ``in_dim`` from the first EdgeConv weight
-    instead of assuming F=4."""
+    """Raw payload dict (keys: tree/step/config), without a pytree
+    template. For consumers that must inspect shapes before building the
+    model — e.g. serving export derives ``in_dim`` from the first
+    EdgeConv weight instead of assuming F=4 — and that then pass the
+    payload to ``restore_subtrees`` so the file is parsed once."""
     if not os.path.exists(path):
         cand = latest(path)
         if cand is None:
             raise FileNotFoundError(f"no checkpoint at {path!r}")
         path = cand
     with open(path, "rb") as f:
-        payload = serialization.msgpack_restore(f.read())
-    return payload["tree"], int(payload["step"]), json.loads(payload["config"])
+        return serialization.msgpack_restore(f.read())
 
 
-def restore_subtrees(path: str, templates: dict):
+def restore_subtrees(path: str, templates: dict, payload: dict | None = None):
     """Load only named top-level entries (e.g. params/model_state) — for
     consumers that don't carry optimizer state (inference, serving
-    export)."""
-    if not os.path.exists(path):
-        cand = latest(path)
-        if cand is None:
-            raise FileNotFoundError(f"no checkpoint at {path!r}")
-        path = cand
-    with open(path, "rb") as f:
-        payload = serialization.msgpack_restore(f.read())
+    export). ``payload`` short-circuits the file read when the caller
+    already holds the deserialized checkpoint (e.g. from ``peek``)."""
+    if payload is None:
+        if not os.path.exists(path):
+            cand = latest(path)
+            if cand is None:
+                raise FileNotFoundError(f"no checkpoint at {path!r}")
+            path = cand
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
     tree_sd = payload["tree"]
     try:
         out = {

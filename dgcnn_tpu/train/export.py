@@ -74,9 +74,9 @@ def run_export(cfg) -> str:
     # of the original run are irrelevant here. in_dim comes from the
     # checkpoint itself: the first EdgeConv weight is (2*in_dim, C_out),
     # so a model trained on F!=4 events exports correctly.
-    raw, _, _ = checkpoint.peek(cfg.model_path)
+    payload = checkpoint.peek(cfg.model_path)
     try:
-        in_dim = int(raw["params"]["blocks"]["0"]["w"].shape[0]) // 2
+        in_dim = int(payload["tree"]["params"]["blocks"]["0"]["w"].shape[0]) // 2
     except (KeyError, AttributeError) as e:
         raise ValueError(
             f"cannot derive in_dim from checkpoint {cfg.model_path!r}: {e}"
@@ -84,7 +84,8 @@ def run_export(cfg) -> str:
     model = get_model(cfg.model_name, cfg.model_spec())
     params0, mstate0 = model.init(jax.random.PRNGKey(0), in_dim)
     loaded, step, _ = checkpoint.restore_subtrees(
-        cfg.model_path, {"params": params0, "model_state": mstate0}
+        cfg.model_path, {"params": params0, "model_state": mstate0},
+        payload=payload,
     )
     state = types.SimpleNamespace(
         params=loaded["params"], model_state=loaded["model_state"]

@@ -59,10 +59,14 @@ class CSVData:
             lines = f.read().splitlines()
         self._keys = self._keys + extra
         pad = "," * len(extra)
-        with open(self.path, "w") as f:
+        # write-then-rename: a crash mid-rewrite must not destroy the
+        # run's metrics history (same discipline as checkpoint.save)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
             f.write(",".join(self._keys) + "\n")
             for line in lines[1:]:
                 f.write(line + pad + "\n")
+        os.replace(tmp, self.path)
         self._file = open(self.path, "a")
 
     def close(self):

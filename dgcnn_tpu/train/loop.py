@@ -96,6 +96,7 @@ def _make_validator(cfg, tv):
         num_point=cfg.num_point,
         shuffle=False,
         seed=cfg.seed,
+        crop_mode=getattr(cfg, "crop_mode", "random"),
     )
 
     nproc, pid = jax.process_count(), jax.process_index()
@@ -107,9 +108,10 @@ def _make_validator(cfg, tv):
             if cfg.val_batches and i >= cfg.val_batches:
                 break
             # every host reads the full val file (identical batches);
-            # compute on this host's row slice of each global batch
+            # compute on this host's row slice of each global batch.
+            # metrics-only step: no prediction gathers on the train path
             local = batch if nproc == 1 else _local_batch_rows(batch, pid, nproc)
-            _, _, m = tv.inference(state, local)
+            m = tv.evaluate(state, local)
             cm += np.asarray(m["confusion"], np.float64)
             # weight each batch's mean loss by its valid-point mass so
             # val_loss is a true per-point mean across buckets
@@ -190,6 +192,24 @@ def train(cfg) -> dict:
         # first batches again (round-1 ADVICE)
         batcher.reseed(cfg.seed + start_step)
         print(f"restored checkpoint at step {start_step}", flush=True)
+    if jax.process_count() > 1:
+        # every host must resume at the SAME step: checkpoints are written
+        # by process 0 only, so a host-local (non-shared) weight_prefix
+        # would make hosts disagree on start_step — host 0 then finishes
+        # its loop early and the others hang in the next all-reduce. Fail
+        # loudly instead.
+        from jax.experimental import multihost_utils
+
+        lead_step = int(
+            multihost_utils.broadcast_one_to_all(np.int32(start_step))
+        )
+        if lead_step != start_step:
+            raise RuntimeError(
+                f"resume step mismatch across hosts (process 0 at step "
+                f"{lead_step}, this host at {start_step}): weight_prefix "
+                f"must point at a SHARED filesystem so every host restores "
+                f"the checkpoint process 0 wrote"
+            )
 
     # metrics are global (psum) — only process 0 reports/logs (concurrent
     # CSV writers on a shared filesystem would interleave)

@@ -97,7 +97,8 @@ class Trainval:
         self._batch_sharding = NamedSharding(self.mesh, self._batch_spec)
         self._repl_sharding = NamedSharding(self.mesh, P())
         self._train_step = self._build_train_step()
-        self._eval_step = self._build_eval_step()
+        self._eval_step = self._build_eval_step(gather=True)
+        self._metrics_step = self._build_eval_step(gather=False)
 
     # ---------------------------------------------------------------- init
 
@@ -229,7 +230,12 @@ class Trainval:
 
     # ----------------------------------------------------------- eval step
 
-    def _build_eval_step(self):
+    def _build_eval_step(self, gather: bool = True):
+        """``gather=True``: predictions all-gathered/replicated (write-back
+        needs the whole batch host-addressable — multi-host inference
+        collects on process 0). ``gather=False``: metrics only — the
+        periodic validator consumes just loss/confusion, so it skips the
+        prediction collectives entirely."""
         model = self.model
         num_class = self.cfg.num_class
 
@@ -237,7 +243,6 @@ class Trainval:
 
         def device_eval(params, mstate, points, labels, weights, mask):
             logits, _ = model.apply(params, mstate, points, mask, train=False)
-            scores = jax.nn.softmax(logits, axis=-1)
             pred = jnp.argmax(logits, axis=-1)
             logp = jax.nn.log_softmax(logits, axis=-1)
             ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
@@ -250,10 +255,9 @@ class Trainval:
             p1h = (pred.reshape(-1)[:, None] == cls).astype(jnp.float32)
             cm = jax.lax.psum(t1h.T @ p1h, axes)
             loss = loss_sum / jnp.maximum(w_sum, 1e-9)
-            # gather predictions to every replica: write-back needs the
-            # whole batch host-addressable (multi-host inference collects
-            # on process 0); a no-op on a single device, cheap at eval
-            # batch sizes otherwise
+            if not gather:
+                return loss, w_sum, cm
+            scores = jax.nn.softmax(logits, axis=-1)
             scores = jax.lax.all_gather(scores, DATA_AXIS, axis=0, tiled=True)
             scores = jax.lax.all_gather(scores, POINT_AXIS, axis=1, tiled=True)
             pred = jax.lax.all_gather(pred, DATA_AXIS, axis=0, tiled=True)
@@ -261,15 +265,16 @@ class Trainval:
             return scores, pred, loss, w_sum, cm
 
         bspec = self._batch_spec
+        out_specs = (P(), P(), P(), P(), P()) if gather else (P(), P(), P())
         smapped = jax.shard_map(
             device_eval,
             mesh=self.mesh,
             in_specs=(P(), P(), bspec, bspec, bspec, bspec),
-            out_specs=(P(), P(), P(), P(), P()),
+            out_specs=out_specs,
             # the tiled all_gathers above make every output replicated,
             # but the static vma checker cannot infer that for gathered
             # values — replication is asserted by the multi-host tests
-            check_vma=False,
+            check_vma=not gather,
         )
         return jax.jit(smapped)
 
@@ -284,6 +289,15 @@ class Trainval:
             state.params, state.model_state, points, labels, weights, mask
         )
         return scores, pred, {"loss": loss, "loss_weight": w_sum, "confusion": cm}
+
+    def evaluate(self, state: TrainState, batch) -> dict:
+        """Metrics-only eval (loss/confusion) — no prediction gathers; what
+        the periodic validator should call (it discards predictions)."""
+        points, labels, weights, mask = self._put_batch(batch)
+        loss, w_sum, cm = self._metrics_step(
+            state.params, state.model_state, points, labels, weights, mask
+        )
+        return {"loss": loss, "loss_weight": w_sum, "confusion": cm}
 
     # ------------------------------------------------------------- helpers
 

@@ -75,6 +75,51 @@ def test_same_batch_bytes_from_all_three_paths(tmp_path, mode):
     dgb_py.finalize()
 
 
+def test_shuffled_stream_crops_fresh_subset_each_epoch():
+    """Training streams must expose a DIFFERENT crop subset of an
+    oversized event each epoch (a run-frozen crop silently shrinks the
+    dataset); eval streams (shuffle=False) stay run-stable."""
+    from dgcnn_tpu.io.batching import BucketBatcher
+
+    io = SyntheticIO(num_events=2, num_point=400, seed=1, variable_length=False)
+    b = BucketBatcher(io.initialize(), 2, num_point=128, shuffle=True, seed=9)
+
+    def points_of(batch, eid):
+        i = list(batch.event_ids).index(eid)
+        return batch.points[i].copy()
+
+    e1 = next(b.epoch())
+    e2 = next(b.epoch())
+    assert not np.array_equal(points_of(e1, 0), points_of(e2, 0))
+
+    bv = BucketBatcher(io.initialize(), 2, num_point=128, shuffle=False, seed=9)
+    v1 = next(bv.epoch())
+    v2 = next(bv.epoch())
+    np.testing.assert_array_equal(points_of(v1, 0), points_of(v2, 0))
+
+
+def test_huge_monotonic_offsets_rejected_by_native_reader(tmp_path):
+    """offsets[E] = 2^62 is monotonic but must still be rejected (the
+    total*F*4 arithmetic would wrap and leave OOB reads reachable)."""
+    from dgcnn_tpu.io import native
+
+    io = SyntheticIO(num_events=2, num_point=64, seed=0)
+    events = [io.initialize().read_event(i) for i in range(2)]
+    path = tmp_path / "huge.dgb"
+    write_dgb(str(path), events)
+    data = bytearray(path.read_bytes())
+    # header 0x18 bytes, then u64 offsets[E+1]; bump the final offset
+    data[0x18 + 2 * 8 : 0x18 + 3 * 8] = (2**62).to_bytes(8, "little")
+    path.write_bytes(bytes(data))
+    lib = native.load()
+    if lib is not None:
+        assert not lib.dgb_open(str(path).encode()), (
+            "native dgb_open accepted a wrapping offsets table"
+        )
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        DGBIO(str(path)).initialize()
+
+
 def test_fixed_layout_readers_reject_key_flags(tmp_path):
     f = tmp_path / "x.csv"
     f.write_text("0,1,2,3,0.5,1\n")
