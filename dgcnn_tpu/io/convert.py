@@ -8,6 +8,7 @@ synthetic generator produces benchmark/smoke datasets.
 Usage:
   python -m dgcnn_tpu.io.convert csv2h5  in.csv out.h5
   python -m dgcnn_tpu.io.convert csv2npz in.csv out.npz
+  python -m dgcnn_tpu.io.convert convert in.h5 out.dgb   # any -> any
   python -m dgcnn_tpu.io.convert synth   out.h5 --events 128 --points 4096
 """
 
@@ -15,7 +16,7 @@ from __future__ import annotations
 
 import argparse
 
-from dgcnn_tpu.io.readers import CSVIO
+from dgcnn_tpu.io.readers import CSVIO, H5IO, NPZIO
 from dgcnn_tpu.io.synthetic import SyntheticIO, write_canonical
 
 
@@ -31,13 +32,40 @@ def write_any(path: str, events):
         write_canonical(path, events, "h5")
 
 
+def read_any(path: str, data_key="data", label_key="label", weight_key=""):
+    """Reader chosen by extension (csv/h5/npz/dgb); returns event list."""
+    if path.endswith(".csv"):
+        io = CSVIO(path)
+    elif path.endswith(".npz"):
+        io = NPZIO(path, data_key, label_key, weight_key)
+    elif path.endswith(".dgb"):
+        from dgcnn_tpu.io.dgb import DGBIO
+
+        io = DGBIO(path)
+    else:
+        io = H5IO(path, data_key, label_key, weight_key)
+    io.initialize()
+    events = [io.read_event(i) for i in range(io.num_events())]
+    io.finalize()
+    return events
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="dgcnn_tpu.io.convert", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("csv2h5", "csv2npz", "csv2dgb"):
-        c = sub.add_parser(name)
+    for name in ("csv2h5", "csv2npz", "csv2dgb", "convert"):
+        c = sub.add_parser(
+            name,
+            help="any->any by extension" if name == "convert" else None,
+        )
         c.add_argument("input")
         c.add_argument("output")
+        if name == "convert":
+            c.add_argument("--data_key", default="data")
+            c.add_argument("--label_key", default="label")
+            # canonical weight column name; silently absent if the input
+            # has no weights (readers guard on key presence)
+            c.add_argument("--weight_key", default="weight")
     s = sub.add_parser("synth")
     s.add_argument("output")
     s.add_argument("--events", type=int, default=128)
@@ -51,6 +79,10 @@ def main(argv=None):
     if ns.cmd.startswith("csv2"):
         io = CSVIO(ns.input).initialize()
         events = [io.read_event(i) for i in range(io.num_events())]
+        write_any(ns.output, events)
+        print(f"wrote {len(events)} events -> {ns.output}")
+    elif ns.cmd == "convert":
+        events = read_any(ns.input, ns.data_key, ns.label_key, ns.weight_key)
         write_any(ns.output, events)
         print(f"wrote {len(events)} events -> {ns.output}")
     else:

@@ -44,6 +44,7 @@ def knn_indices(
     mask: jax.Array | None = None,
     *,
     precision=None,
+    block_q: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Indices of the ``k`` nearest neighbors of every point (self included).
 
@@ -52,6 +53,12 @@ def knn_indices(
       k: neighbor count (reference default 20).
       mask: optional ``(..., N)`` bool; False marks padded points that must
         never be selected as neighbors.
+      block_q: query-block size for the memory-bounded path: distances are
+        computed (block, N) at a time under ``lax.map`` instead of
+        materializing the full (N, N) matrix. ``None`` (default) picks
+        automatically (block at N ≥ 4096); ``0`` forces the one-shot
+        matrix. Results are identical either way (each query row's
+        distance expression and top_k are row-independent).
 
     Returns:
       ``idx``: ``(..., N, k)`` int32 neighbor indices, sorted by increasing
@@ -60,13 +67,58 @@ def knn_indices(
       ``neighbor_valid``: ``(..., N, k)`` bool; False where fewer than ``k``
         valid points existed and the slot degraded to a self-edge.
     """
+    n = x.shape[-2]
+    if block_q is None:
+        block_q = 2048 if n >= 4096 else 0
+    if block_q and n > block_q and n % block_q == 0:
+        return _knn_indices_blocked(
+            x, k, mask, precision=precision, block_q=block_q
+        )
     d = pairwise_sq_dists(x, precision=precision)
     neg = -d
     if mask is not None:
         neg = jnp.where(mask[..., None, :], neg, -jnp.inf)
     vals, idx = jax.lax.top_k(neg, k)
-    n = x.shape[-2]
     self_idx = jnp.arange(n, dtype=idx.dtype).reshape((1,) * (idx.ndim - 2) + (n, 1))
+    neighbor_valid = jnp.isfinite(vals)
+    idx = jnp.where(neighbor_valid, idx, self_idx)
+    return idx.astype(jnp.int32), neighbor_valid
+
+
+def _knn_indices_blocked(x, k, mask, *, precision, block_q):
+    """Memory-bounded oracle: (block_q, N) distance strips under lax.map.
+
+    Same per-row math as the one-shot path (the distance expression and
+    top_k act row-independently), so results match it exactly; peak
+    intermediate memory drops from O(N²) to O(block_q·N) — what the
+    serving artifact and the no-Pallas fallback need at 16k+ points."""
+    n, c = x.shape[-2], x.shape[-1]
+    batch_shape = x.shape[:-2]
+    nb = n // block_q
+    sq = jnp.sum(jnp.square(x), axis=-1)  # (..., N)
+    key_mask = None if mask is None else mask[..., None, :]  # (..., 1, N)
+
+    # blocks lead so lax.map sequences them: (nb, ..., block_q, C)
+    xb = jnp.moveaxis(
+        x.reshape(batch_shape + (nb, block_q, c)), -3, 0
+    )
+    sqb = jnp.moveaxis(sq.reshape(batch_shape + (nb, block_q)), -2, 0)
+
+    def chunk(args):
+        xq, sq_q = args
+        inner = jnp.einsum("...ic,...jc->...ij", xq, x, precision=precision)
+        d = sq_q[..., :, None] + sq[..., None, :] - 2.0 * inner
+        neg = -d
+        if key_mask is not None:
+            neg = jnp.where(key_mask, neg, -jnp.inf)
+        return jax.lax.top_k(neg, k)
+
+    vals, idx = jax.lax.map(chunk, (xb, sqb))  # (nb, ..., block_q, k)
+    vals = jnp.moveaxis(vals, 0, -3).reshape(batch_shape + (n, k))
+    idx = jnp.moveaxis(idx, 0, -3).reshape(batch_shape + (n, k))
+    self_idx = jnp.arange(n, dtype=idx.dtype).reshape(
+        (1,) * len(batch_shape) + (n, 1)
+    )
     neighbor_valid = jnp.isfinite(vals)
     idx = jnp.where(neighbor_valid, idx, self_idx)
     return idx.astype(jnp.int32), neighbor_valid

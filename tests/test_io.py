@@ -151,3 +151,22 @@ def test_csv_weight_column(tmp_path):
     ev = io.read_event(0)
     np.testing.assert_allclose(ev.weights, [0.5, 1.5, 2.5, 3.5])
     np.testing.assert_array_equal(ev.labels, [0, 1, 0, 1])
+
+
+def test_convert_any_to_any_roundtrip(tmp_path):
+    """`convert` (any->any by extension) preserves events incl. weights."""
+    from dgcnn_tpu.io.convert import main as convert_main
+    from dgcnn_tpu.io.readers import H5IO, NPZIO
+
+    convert_main(["synth", str(tmp_path / "a.h5"), "--events", "5",
+                  "--points", "150", "--weights"])
+    convert_main(["convert", str(tmp_path / "a.h5"), str(tmp_path / "a.dgb")])
+    convert_main(["convert", str(tmp_path / "a.dgb"), str(tmp_path / "a.npz")])
+    h5 = H5IO(str(tmp_path / "a.h5"), "data", "label", "weight").initialize()
+    npz = NPZIO(str(tmp_path / "a.npz"), "data", "label", "weight").initialize()
+    assert h5.num_events() == npz.num_events() == 5
+    for i in range(5):
+        a, b = h5.read_event(i), npz.read_event(i)
+        np.testing.assert_allclose(a.points, b.points, rtol=1e-6)
+        np.testing.assert_array_equal(a.labels, b.labels)
+        np.testing.assert_allclose(a.weights, b.weights, rtol=1e-6)

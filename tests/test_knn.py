@@ -68,3 +68,22 @@ def test_pairwise_dists_symmetry_and_zero_diag():
     d = np.asarray(pairwise_sq_dists(jnp.asarray(x)))
     np.testing.assert_allclose(d, np.swapaxes(d, -1, -2), atol=1e-4)
     assert np.abs(np.diagonal(d, axis1=-2, axis2=-1)).max() < 1e-4
+
+
+def test_blocked_oracle_matches_one_shot():
+    """The memory-bounded (lax.map strip) oracle path returns exactly the
+    one-shot matrix path's indices, incl. masks and self-edge degradation."""
+    import jax
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 4096, 8).astype(np.float32))
+    mask = jnp.asarray(rng.rand(2, 4096) > 0.1)
+    for m in (None, mask):
+        idx_a, val_a = knn_indices(x, 12, m, precision=jax.lax.Precision.HIGHEST, block_q=0)
+        idx_b, val_b = knn_indices(x, 12, m, precision=jax.lax.Precision.HIGHEST, block_q=1024)
+        np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+        np.testing.assert_array_equal(np.asarray(val_a), np.asarray(val_b))
+    # auto mode (N >= 4096 blocks) agrees too
+    idx_c, _ = knn_indices(x, 12, mask, precision=jax.lax.Precision.HIGHEST)
+    idx_a, _ = knn_indices(x, 12, mask, precision=jax.lax.Precision.HIGHEST, block_q=0)
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_c))
