@@ -52,6 +52,8 @@ class Config:
     lr_decay_steps: int = 0  # cosine horizon / step period (0 → iteration)
     lr_decay_rate: float = 0.5  # step decay factor
     auto_resume: bool = False  # resume from latest weight_prefix ckpt
+    max_to_keep: int = 0  # checkpoint retention; 0 = keep all
+    augment: bool = False  # host-side train augmentation (z-rot/scale/jitter)
     # io
     io_type: str = "h5"  # h5 | npz | csv | dgb | synthetic
     input_file: str = ""
@@ -252,6 +254,12 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--auto_resume", action="store_true",
                     help="resume from the latest weight_prefix checkpoint "
                     "if one exists (preemption-friendly)")
+    tr.add_argument("--max_to_keep", type=int, default=0,
+                    help="keep only the newest N checkpoints "
+                    "(0 = keep all; the reference Saver keeps 5)")
+    tr.add_argument("--augment", action="store_true",
+                    help="seeded train-time augmentation on the host: "
+                    "random z-rotation, scale 0.95-1.05, coord jitter")
 
     inf = sub.add_parser("inference", help="run inference + write-back")
     _add_common_flags(inf)

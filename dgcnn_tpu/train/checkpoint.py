@@ -41,6 +41,28 @@ def save(path_prefix: str, step: int, tree, config_dict=None) -> str:
     return path
 
 
+def prune(path_prefix: str, keep: int) -> list:
+    """Delete all but the ``keep`` highest-step checkpoints of a prefix
+    (the reference's Saver keeps a bounded history [M]); returns the
+    removed paths. ``keep <= 0`` keeps everything."""
+    if keep <= 0:
+        return []
+    found = []
+    for p in glob.glob(f"{path_prefix}-*.ckpt"):
+        m = re.search(r"-(\d+)\.ckpt$", p)
+        if m:
+            found.append((int(m.group(1)), p))
+    found.sort()
+    removed = []
+    for _, p in found[:-keep] if len(found) > keep else []:
+        try:
+            os.remove(p)
+            removed.append(p)
+        except OSError:
+            pass
+    return removed
+
+
 def latest(path_prefix: str):
     """Highest-step checkpoint path for a prefix, or None."""
     best, best_step = None, -1

@@ -225,7 +225,14 @@ def train(cfg) -> dict:
     events_per_epoch = max(total_events, 1)
     metrics = {}
     it = start_step
-    stream = prefetch(batcher.forever(), cfg.prefetch)
+    batches = batcher.forever()
+    if getattr(cfg, "augment", False):
+        from dgcnn_tpu.io.augment import augment_stream
+
+        # counter keyed off the resume step so a resumed run doesn't
+        # replay the same augmentations
+        batches = augment_stream(batches, cfg.seed + start_step)
+    stream = prefetch(batches, cfg.prefetch)
     stopper = _GracefulStop().install()
     try:
         for batch in stream:
@@ -236,6 +243,7 @@ def train(cfg) -> dict:
             if it % cfg.report_step == 0 or it == cfg.iteration or cfg.debug:
                 epoch = it * cfg.minibatch_size / events_per_epoch
                 row = _flatten_metrics(metrics)
+                row["lr"] = tv.lr_at(it)
                 if validator is not None:
                     row.update(validator(state))
                 if reporter is not None:
@@ -246,6 +254,9 @@ def train(cfg) -> dict:
             if cfg.checkpoint_step and it % cfg.checkpoint_step == 0:
                 if jax.process_index() == 0:
                     checkpoint.save(cfg.weight_prefix, it, state, vars(cfg))
+                    checkpoint.prune(
+                        cfg.weight_prefix, getattr(cfg, "max_to_keep", 0)
+                    )
         if jax.process_index() == 0:
             path = checkpoint.save(cfg.weight_prefix, it, state, vars(cfg))
             print(f"saved final checkpoint {path}", flush=True)

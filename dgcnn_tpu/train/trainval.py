@@ -86,10 +86,8 @@ class Trainval:
             precision=precision,
             **extra_ops,
         )
-        self.opt = _make_optimizer(
-            getattr(cfg, "optimizer", "adam"),
-            _make_lr(cfg),
-        )
+        self._lr = _make_lr(cfg)
+        self.opt = _make_optimizer(getattr(cfg, "optimizer", "adam"), self._lr)
         # reduce over both mesh axes (the points axis is a no-op under
         # pure DP where its size is 1)
         self._axes = (DATA_AXIS, POINT_AXIS)
@@ -115,6 +113,10 @@ class Trainval:
             rng=rng,
         )
         return jax.device_put(state, self._repl_sharding)
+
+    def lr_at(self, step: int) -> float:
+        """Learning rate at a step (for report lines / observability)."""
+        return float(self._lr(step)) if callable(self._lr) else float(self._lr)
 
     def restore_for_eval(self, state: "TrainState", path: str):
         """Restore only params + BN state from a checkpoint (inference/

@@ -55,3 +55,29 @@ def test_auto_resume_continues(tmp_path):
     # and a cold run without auto_resume starts over (no step-12 → 8 again)
     m3 = train(_cfg(tmp_path, iteration=8, weight_prefix=str(tmp_path / "w2/s")))
     assert os.path.exists(tmp_path / "w2/s-8.ckpt")
+
+
+def test_max_to_keep_prunes_old_checkpoints(tmp_path):
+    cfg = _cfg(tmp_path, iteration=9)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, checkpoint_step=2, max_to_keep=2)
+    train(cfg)
+    import glob
+    ckpts = sorted(glob.glob(str(tmp_path / "w/s-*.ckpt")))
+    # periodic saves pruned to 2; the final save (step 9) is additional
+    steps = sorted(int(p.rsplit("-", 1)[1].split(".")[0]) for p in ckpts)
+    assert len(steps) <= 3 and steps[-1] == 9, steps
+    assert 2 not in steps and 4 not in steps, steps  # oldest pruned
+
+
+def test_lr_column_reported(tmp_path):
+    cfg = _cfg(tmp_path, iteration=4, lr_schedule="cosine", learning_rate=1e-2,
+               lr_decay_steps=8)
+    train(cfg)
+    with open(tmp_path / "log/train_log.csv") as f:
+        header = f.readline().strip().split(",")
+        row = f.readline().strip().split(",")
+    assert "lr" in header
+    lr = float(row[header.index("lr")])
+    # cosine at step 4 of an 8-step horizon = half the base rate
+    np.testing.assert_allclose(lr, 0.5e-2, rtol=1e-4)
