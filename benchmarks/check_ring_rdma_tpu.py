@@ -1,0 +1,50 @@
+"""Mosaic compile check of ring_knn_rdma on the real TPU (1-device ring).
+
+A 1-device points mesh cannot exercise real ICI traffic, but it forces
+Mosaic to lower the ENTIRE kernel — merge loop, HBM scratch, dynamic
+tile DMA, RDMA descriptors, semaphores — which interpret mode never
+does. Output must match the single-device oracle.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax, jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from dgcnn_tpu.kernels.ring_knn_rdma import ring_knn_rdma
+from dgcnn_tpu.ops.knn import pairwise_sq_dists
+
+print("backend:", jax.default_backend(), jax.devices())
+B, N, C, K = 2, 2048, 64, 20
+rng = np.random.default_rng(0)
+x = rng.normal(size=(B, N, C)).astype(np.float32)
+x[:, 700] = x[:, 3]
+mask = np.ones((B, N), bool)
+mask[:, -99:] = False
+
+mesh = Mesh(np.array(jax.devices())[:1], ("points",))
+f = shard_map(
+    lambda xs, ms: ring_knn_rdma(xs, K, ms, axis_name="points", interpret=False),
+    mesh=mesh,
+    in_specs=(P(None, "points"), P(None, "points")),
+    out_specs=(P(None, "points"), P(None, "points")),
+    check_vma=False,
+)
+idx, valid = jax.jit(f)(x, mask)
+idx.block_until_ready()
+
+xj = jnp.asarray(x)
+scores = jnp.sum(jnp.square(xj), axis=-1)[..., :, None] - pairwise_sq_dists(xj, precision=jax.lax.Precision.HIGHEST)
+scores = jnp.where(jnp.asarray(mask)[:, None, :], scores, -1e30)
+ov, oi = jax.lax.top_k(scores, K)
+ovalid = ov > -1e29
+self_i = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :, None], oi.shape)
+oi = jnp.where(ovalid, oi, self_i).astype(jnp.int32)
+
+mm = int(jnp.sum(idx != oi)) + int(jnp.sum(valid != ovalid))
+print("mismatches:", mm, "/", idx.size)
+assert mm == 0
+print("OK: Mosaic-compiled ring kernel bit-exact (D=1) on TPU")

@@ -85,6 +85,10 @@ class Config:
     # single-pass bf16 — ~18% faster 131k steps, may swap
     # near-equidistant neighbors (harmless for training quality)
     knn_precision: str = "highest"
+    # ring mechanism for context-parallel graph builds: "ppermute"
+    # (unrolled shard_map steps) or "rdma" (one fused Pallas kernel per
+    # device, explicit inter-chip DMA overlapped with the merge)
+    ring_impl: str = "ppermute"
 
     def __post_init__(self):
         if self.edge_filters is None:
@@ -131,6 +135,10 @@ class Config:
             raise ValueError(f"NUM_CLASS must be >= 2, got {self.num_class}")
         if self.point_shards < 1:
             raise ValueError("point_shards must be >= 1")
+        if self.ring_impl not in ("ppermute", "rdma"):
+            raise ValueError(
+                f"ring_impl must be ppermute|rdma, got {self.ring_impl!r}"
+            )
         if self.command == "inference" and not self.model_path:
             raise ValueError("inference requires --model_path")
         if self.command == "export":
@@ -226,6 +234,11 @@ def _add_common_flags(p: argparse.ArgumentParser):
                    help="kNN score-matmul precision: highest = bit-exact "
                    "neighbor graph vs the f32 oracle; default = bf16 MXU "
                    "(faster at 100k+ points, near-ties may swap)")
+    g.add_argument("--ring_impl", default="ppermute",
+                   choices=["ppermute", "rdma"],
+                   help="context-parallel ring mechanism: ppermute = "
+                   "XLA collectives; rdma = fused Pallas ring kernel "
+                   "(explicit ICI DMA overlapped with the top-k merge)")
     g.add_argument("--remat", action="store_true",
                    help="recompute each EdgeConv block in backward "
                    "(trade FLOPs for HBM at large NUM_POINT)")

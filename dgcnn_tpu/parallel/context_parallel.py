@@ -54,7 +54,10 @@ def cp_masked_max_pool(x, mask, axis_name: str = POINT_AXIS):
 
 
 def cp_graph_ops(
-    axis_name: str = POINT_AXIS, precision=None, use_pallas: bool | None = None
+    axis_name: str = POINT_AXIS,
+    precision=None,
+    use_pallas: bool | None = None,
+    impl: str = "ppermute",
 ) -> GraphOps:
     """Ring-based kNN / gather / pool bound to a mesh axis.
 
@@ -62,16 +65,39 @@ def cp_graph_ops(
     fused kernel (no (Nq, Nb) score matrices even per block). Defaults
     to True on TPU backends, False elsewhere (the jnp path is the
     bitwise global-oracle reference and what CPU-mesh tests exercise).
+
+    ``impl`` selects the ring mechanism for the graph build:
+      * ``"ppermute"`` (default) — unrolled shard_map steps, block
+        handoff via `lax.ppermute` (XLA-scheduled collectives).
+      * ``"rdma"`` — one fused Pallas kernel per device owning the whole
+        ring (`kernels.ring_knn_rdma`): chip-to-chip block transfer via
+        explicit RDMA, started before each step's merge so it always
+        hides behind compute. Same bit-exact global top-k contract.
+        TPU-only inside Trainval (the Pallas interpreter cannot emulate
+        remote DMA on the joint (data, points) mesh); on CPU meshes the
+        kernel is testable under a single-axis shard_map with
+        ``check_vma=False``.
     """
     if use_pallas is None:
         import jax as _jax
 
         use_pallas = _jax.default_backend() in ("tpu", "axon")
-    return GraphOps(
-        knn=lambda x, k, mask: ring_knn(
+    if impl == "rdma":
+        from dgcnn_tpu.kernels.ring_knn_rdma import ring_knn_rdma
+
+        prec = precision if precision is not None else jax.lax.Precision.HIGHEST
+        knn = lambda x, k, mask: ring_knn_rdma(
+            x, k, mask, axis_name=axis_name, precision=prec
+        )
+    elif impl == "ppermute":
+        knn = lambda x, k, mask: ring_knn(
             x, k, mask, axis_name=axis_name, precision=precision,
             use_pallas=use_pallas,
-        ),
+        )
+    else:
+        raise ValueError(f"unknown ring impl {impl!r} (ppermute|rdma)")
+    return GraphOps(
+        knn=knn,
         gather=lambda values, idx: ring_gather(values, idx, axis_name=axis_name),
         pool=lambda x, mask: cp_masked_max_pool(x, mask, axis_name),
     )

@@ -70,9 +70,23 @@ class Trainval:
             )
         precision = _precision_of(cfg.precision)
         extra_ops = {}
+        ring_impl = getattr(cfg, "ring_impl", "ppermute")
+        if (
+            self._cp
+            and ring_impl == "rdma"
+            and jax.default_backend() not in ("tpu", "axon")
+        ):
+            # the Pallas interpreter emulates remote DMA only on
+            # single-axis meshes; the training mesh is (data, points)
+            raise ValueError(
+                "--ring_impl rdma requires a TPU backend: the Pallas "
+                "interpreter cannot emulate inter-chip DMA on the joint "
+                "(data, points) training mesh. Use --ring_impl ppermute "
+                "on CPU meshes (identical results, XLA collectives)."
+            )
         if self._cp:
             # points sharded over the mesh: ring kNN/gather/pool over ICI
-            ops = cp_graph_ops(POINT_AXIS, precision=precision)
+            ops = cp_graph_ops(POINT_AXIS, precision=precision, impl=ring_impl)
             knn_fn = knn_fn or ops.knn
             extra_ops = {"gather_fn": ops.gather, "pool_fn": ops.pool}
         elif knn_fn is None and cfg.use_pallas:
