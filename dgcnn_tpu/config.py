@@ -85,6 +85,11 @@ class Config:
     # single-pass bf16 — ~18% faster 131k steps, may swap
     # near-equidistant neighbors (harmless for training quality)
     knn_precision: str = "highest"
+    # rebuild the dynamic kNN graph every N EdgeConv blocks (1 = every
+    # block, the reference's semantics; higher values reuse neighbor
+    # indices across blocks — a large speed win at big N for a small,
+    # measured accuracy cost, see BASELINE.md)
+    knn_every: int = 1
     # ring mechanism for context-parallel graph builds: "ppermute"
     # (unrolled shard_map steps) or "rdma" (one fused Pallas kernel per
     # device, explicit inter-chip DMA overlapped with the merge)
@@ -114,6 +119,7 @@ class Config:
                 "bfloat16" if self.precision == "bfloat16" else "float32"
             ),
             remat=self.remat,
+            knn_every=self.knn_every,
         )
 
     def validate(self):
@@ -135,6 +141,8 @@ class Config:
             raise ValueError(f"NUM_CLASS must be >= 2, got {self.num_class}")
         if self.point_shards < 1:
             raise ValueError("point_shards must be >= 1")
+        if self.knn_every < 1:
+            raise ValueError(f"knn_every must be >= 1, got {self.knn_every}")
         if self.ring_impl not in ("ppermute", "rdma"):
             raise ValueError(
                 f"ring_impl must be ppermute|rdma, got {self.ring_impl!r}"
@@ -234,6 +242,11 @@ def _add_common_flags(p: argparse.ArgumentParser):
                    help="kNN score-matmul precision: highest = bit-exact "
                    "neighbor graph vs the f32 oracle; default = bf16 MXU "
                    "(faster at 100k+ points, near-ties may swap)")
+    g.add_argument("--knn_every", type=int, default=1,
+                   help="rebuild the dynamic kNN graph every N EdgeConv "
+                   "blocks (1 = reference per-block semantics; higher "
+                   "reuses the graph — big speedup at large NUM_POINT, "
+                   "small measured accuracy cost)")
     g.add_argument("--ring_impl", default="ppermute",
                    choices=["ppermute", "rdma"],
                    help="context-parallel ring mechanism: ppermute = "

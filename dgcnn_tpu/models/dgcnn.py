@@ -57,6 +57,12 @@ class ModelSpec:
     remat: bool = False  # jax.checkpoint each EdgeConv block: recompute
     #                      the dynamic graph + edge tensor in backward
     #                      instead of keeping (B,N,k,C) residuals in HBM
+    knn_every: int = 1  # rebuild the dynamic kNN graph every this many
+    #                     blocks; 1 = per-block (reference semantics).
+    #                     Blocks in between reuse the previous indices —
+    #                     an opt-in speed/quality knob, since the graph
+    #                     build is the dominant cost at large N (see
+    #                     BASELINE.md for the measured accuracy delta)
 
     @property
     def num_edge_conv(self) -> int:
@@ -159,15 +165,20 @@ def make_model(
         block_feats = []
         edge_mask = None if mask is None else mask  # (B, N) → broadcasts over k
 
-        def block_fn(x, blk_p, blk_s):
+        def build_graph(x):
             idx, _ = _knn(x, spec.k, mask)
             # under remat, SAVE the neighbor indices instead of re-running
             # the kNN kernel in backward: the graph build is stop-gradient
             # (integer indices), so recomputing it buys nothing, and idx is
             # tiny ((B,N,k) int32 = N/819 MB) next to the (B,N,k,C) edge
             # tensors remat exists to avoid. Halves the kNN cost of a
-            # remat step (measured at 131k; see BASELINE.md).
-            idx = jax.ad_checkpoint.checkpoint_name(idx, "knn_idx")
+            # remat step (measured at 131k; see BASELINE.md). The build
+            # lives outside block_fn so `knn_every > 1` can reuse indices
+            # across blocks; as a checkpointed-fn *input*, idx is a saved
+            # residual either way.
+            return jax.ad_checkpoint.checkpoint_name(idx, "knn_idx")
+
+        def block_fn(x, idx, blk_p, blk_s):
             # factorized EdgeConv pre-activation h_ij = P_i + Q_j (see
             # ops.edge.edge_preact_factorized — inlined here so the gather
             # is pluggable for context parallelism); no bias: BN follows
@@ -215,8 +226,11 @@ def make_model(
                 ),
             )
 
-        for blk_p, blk_s in zip(params["blocks"], state["blocks"]):
-            y, bn_s = block_fn(x, blk_p, blk_s)
+        idx = None
+        for i, (blk_p, blk_s) in enumerate(zip(params["blocks"], state["blocks"])):
+            if i % spec.knn_every == 0:
+                idx = build_graph(x)  # dynamic graph from current features
+            y, bn_s = block_fn(x, idx, blk_p, blk_s)
             new_state["blocks"].append(bn_s)
             block_feats.append(y)
             x = y

@@ -84,3 +84,66 @@ def test_overfit_toy_event(name):
     acc = float(accuracy(logits, y))
     assert float(loss) < 0.25, f"loss did not drop: {float(loss)}"
     assert acc > 0.95, f"accuracy {acc}"
+
+
+def test_knn_every_semantics():
+    """Graph reuse: knn_every=1 is the per-block reference semantics
+    (default unchanged); knn_every=n reuses indices across blocks —
+    different logits from per-block rebuilds but identical whenever the
+    rebuild schedule coincides (n >= L builds the graph exactly once)."""
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (2, 64, 4))
+    mask = jnp.ones((2, 64), bool)
+
+    def logits_for(every):
+        spec = ModelSpec(
+            num_class=3, k=6, edge_filters=(16, 16, 16), head_feat_dim=32,
+            head_mlp=(32,), knn_every=every,
+        )
+        model = get_model("dgcnn", spec)
+        params, state = model.init(jax.random.PRNGKey(0), 4)
+        out, _ = model.apply(params, state, x, mask, train=False)
+        return np.asarray(out)
+
+    base = logits_for(1)
+    default = logits_for(1)
+    np.testing.assert_array_equal(base, default)
+    reused = logits_for(3)
+    assert not np.allclose(base, reused), "graph reuse must change block 2+"
+    # any schedule >= num blocks builds the input graph exactly once
+    np.testing.assert_array_equal(logits_for(3), logits_for(99))
+
+
+def test_knn_every_trains():
+    """Loss must still descend with a reused graph (the opt-in knob is a
+    speed/quality trade, not a correctness break)."""
+    spec = ModelSpec(
+        num_class=2, k=6, edge_filters=(16, 16, 16), head_feat_dim=32,
+        head_mlp=(32,), knn_every=3,
+    )
+    model = get_model("dgcnn", spec)
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.normal(rng, (1, 128, 4))
+    labels = (x[..., 0] > 0).astype(jnp.int32)
+    mask = jnp.ones((1, 128), bool)
+    w = jnp.ones((1, 128))
+    params, state = model.init(rng, 4)
+    opt = optax.adam(5e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, opt_state):
+        def loss_fn(p):
+            logits, s2 = model.apply(p, state, x, mask, train=True)
+            return softmax_cross_entropy(logits, labels, w, mask), s2
+
+        (loss, s2), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), s2, opt_state2, loss
+
+    first = None
+    for i in range(40):
+        params, state, opt_state, loss = step(params, state, opt_state)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < 0.5 * first, (first, float(loss))
