@@ -91,9 +91,10 @@ def _measure_cpu_standin() -> float:
     backend must be chosen before jax initializes, and this process has
     already touched the TPU). Same model precision as the TPU leg so
     vs_baseline stays like-for-like (the CPU path never uses Pallas)."""
+    cpu_iters = int(os.environ.get("BENCH_CPU_ITERS", 3))
     code = (
         "import bench, json;"
-        "pps, ms = bench.measure(bench.N_POINTS, bench.BATCH, 2,"
+        f"pps, ms = bench.measure(bench.N_POINTS, bench.BATCH, {cpu_iters},"
         f" use_pallas=False, precision={PRECISION!r}, force_cpu=True);"
         "print(json.dumps({'pps': pps}))"
     )

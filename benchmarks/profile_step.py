@@ -30,6 +30,7 @@ N = int(os.environ.get("BENCH_N", 16384))
 B = int(os.environ.get("BENCH_B", 1))
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
+KNN_EVERY = int(os.environ.get("BENCH_KNN_EVERY", 1))
 ITERS = int(os.environ.get("BENCH_ITERS", 5))
 
 
@@ -60,6 +61,7 @@ def main():
         num_point=N,
         use_pallas=USE_PALLAS,
         remat=REMAT,
+        knn_every=KNN_EVERY,
     )
     tv = Trainval(cfg, mesh=make_mesh(1))
     state = tv.initialize(4)

@@ -74,7 +74,7 @@ def pad_events(
     for i, ev in enumerate(events):
         n = len(ev)
         if n > crop:
-            sel = crop_select(n, crop, crop_mode, seed, int(ev.id))
+            sel = crop_select(n, crop, crop_mode, seed, ev.crop_key)
         else:
             sel = slice(None)
         take = ev.points[sel]

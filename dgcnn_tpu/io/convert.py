@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import argparse
 
-from dgcnn_tpu.io.readers import CSVIO, H5IO, NPZIO
+from dgcnn_tpu.io.readers import CSVIO
 from dgcnn_tpu.io.synthetic import SyntheticIO, write_canonical
 
 
@@ -33,17 +33,13 @@ def write_any(path: str, events):
 
 
 def read_any(path: str, data_key="data", label_key="label", weight_key=""):
-    """Reader chosen by extension (csv/h5/npz/dgb); returns event list."""
-    if path.endswith(".csv"):
-        io = CSVIO(path)
-    elif path.endswith(".npz"):
-        io = NPZIO(path, data_key, label_key, weight_key)
-    elif path.endswith(".dgb"):
-        from dgcnn_tpu.io.dgb import DGBIO
+    """Reader chosen by extension (csv/h5/npz/dgb); returns event list.
 
-        io = DGBIO(path)
-    else:
-        io = H5IO(path, data_key, label_key, weight_key)
+    Dispatch is shared with the training path (`readers.reader_for`) so
+    converter and trainer can never disagree about a format."""
+    from dgcnn_tpu.io.readers import kind_of_path, reader_for
+
+    io = reader_for(kind_of_path(path), path, data_key, label_key, weight_key)
     io.initialize()
     events = [io.read_event(i) for i in range(io.num_events())]
     io.finalize()

@@ -28,12 +28,24 @@ import numpy as np
 
 @dataclasses.dataclass
 class Event:
-    """One sparse detector event: a variable-length labeled point cloud."""
+    """One sparse detector event: a variable-length labeled point cloud.
+
+    ``id`` is what write-back reports (the file's own event identifier —
+    positional for offset-layout formats, the raw event_id column for
+    CSV). ``ordinal`` is the event's position in the file and is what
+    seeded policies (crop) key on, so the same file produces identical
+    batches through every reader and through offline conversion; it
+    defaults to ``id`` for the readers where the two coincide."""
 
     id: int
     points: np.ndarray  # (n, F) float32
     labels: Optional[np.ndarray] = None  # (n,) int32
     weights: Optional[np.ndarray] = None  # (n,) float32
+    ordinal: Optional[int] = None  # position in file; None -> id
+
+    @property
+    def crop_key(self) -> int:
+        return int(self.id if self.ordinal is None else self.ordinal)
 
     def __len__(self):
         return self.points.shape[0]
@@ -86,7 +98,7 @@ class SubsetIO(IOBase):
 
     def read_event(self, i: int) -> Event:
         ev = self._io.read_event(self._lo + i)
-        return Event(ev.id, ev.points, ev.labels, ev.weights)
+        return Event(ev.id, ev.points, ev.labels, ev.weights, ev.ordinal)
 
     def __getattr__(self, name):
         # expose the native batch path only when the inner reader has it
@@ -227,12 +239,16 @@ class CSVIO(IOBase):
             arr = np.asarray(rows_by_event[eid], np.float32)
             has_label = arr.shape[1] >= 5
             has_weight = arr.shape[1] >= 6
+            # id = the file's raw event_id (preserved in write-back);
+            # ordinal = position, so seeded crops match the offset-layout
+            # readers and the csv2dgb/h5/npz conversions of this file
             self._events.append(
                 Event(
                     id=eid,
                     points=arr[:, :4],
                     labels=arr[:, 4].astype(np.int32) if has_label else None,
                     weights=arr[:, 5] if has_weight else None,
+                    ordinal=len(self._events),
                 )
             )
         return self
@@ -242,6 +258,32 @@ class CSVIO(IOBase):
 
     def read_event(self, i: int) -> Event:
         return self._events[i]
+
+
+def reader_for(kind: str, path: str, data_key="data", label_key="label",
+               weight_key="") -> IOBase:
+    """The single io_type -> reader-class dispatch. Both `io_factory`
+    (training/inference CLI) and `io.convert.read_any` (offline
+    converter) go through here, so a new format — or a rule change like
+    the fixed-layout key rejection — lands in one place."""
+    if kind == "csv":
+        return CSVIO(path)
+    if kind == "dgb":
+        from dgcnn_tpu.io.dgb import DGBIO
+
+        return DGBIO(path)
+    cls = {"h5": H5IO, "npz": NPZIO}.get(kind)
+    if cls is None:
+        raise ValueError(f"unknown io_type {kind!r}")
+    return cls(path, data_key, label_key, weight_key)
+
+
+def kind_of_path(path: str) -> str:
+    """Reader kind by file extension (csv/npz/dgb; anything else → h5)."""
+    for ext in ("csv", "npz", "dgb"):
+        if path.endswith("." + ext):
+            return ext
+    return "h5"
 
 
 def io_factory(cfg) -> IOBase:
@@ -283,12 +325,6 @@ def io_factory(cfg) -> IOBase:
                 f"apply (the {kind.upper()} layout is fixed); drop the "
                 f"key flags or use -io h5/npz"
             )
-        if kind == "csv":
-            return CSVIO(cfg.input_file)
-        from dgcnn_tpu.io.dgb import DGBIO
-
-        return DGBIO(cfg.input_file)
-    cls = {"h5": H5IO, "npz": NPZIO}.get(kind)
-    if cls is None:
-        raise ValueError(f"unknown io_type {kind!r}")
-    return cls(cfg.input_file, cfg.data_key, cfg.label_key, cfg.weight_key)
+    return reader_for(
+        kind, cfg.input_file, cfg.data_key, cfg.label_key, cfg.weight_key
+    )

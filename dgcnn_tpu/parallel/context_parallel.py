@@ -58,6 +58,7 @@ def cp_graph_ops(
     precision=None,
     use_pallas: bool | None = None,
     impl: str = "ppermute",
+    knn_precision=None,
 ) -> GraphOps:
     """Ring-based kNN / gather / pool bound to a mesh axis.
 
@@ -77,7 +78,16 @@ def cp_graph_ops(
         remote DMA on the joint (data, points) mesh); on CPU meshes the
         kernel is testable under a single-axis shard_map with
         ``check_vma=False``.
+
+    ``knn_precision`` is the graph-build scoring precision (the CP analog
+    of `--knn_precision`), applied identically to BOTH impls so switching
+    ``impl`` never changes the neighbor graph. Defaults to HIGHEST, the
+    same bit-exact-vs-f32-oracle contract as the single-device kernel;
+    ``precision`` remains the *model* matmul precision and is not used
+    for scoring.
     """
+    if knn_precision is None:
+        knn_precision = jax.lax.Precision.HIGHEST
     if use_pallas is None:
         import jax as _jax
 
@@ -85,13 +95,12 @@ def cp_graph_ops(
     if impl == "rdma":
         from dgcnn_tpu.kernels.ring_knn_rdma import ring_knn_rdma
 
-        prec = precision if precision is not None else jax.lax.Precision.HIGHEST
         knn = lambda x, k, mask: ring_knn_rdma(
-            x, k, mask, axis_name=axis_name, precision=prec
+            x, k, mask, axis_name=axis_name, precision=knn_precision
         )
     elif impl == "ppermute":
         knn = lambda x, k, mask: ring_knn(
-            x, k, mask, axis_name=axis_name, precision=precision,
+            x, k, mask, axis_name=axis_name, precision=knn_precision,
             use_pallas=use_pallas,
         )
     else:

@@ -41,6 +41,16 @@ def save(path_prefix: str, step: int, tree, config_dict=None) -> str:
     return path
 
 
+def _step_of(path_prefix: str, path: str):
+    """Step number iff ``path`` is EXACTLY ``{prefix}-<step>.ckpt``.
+
+    A loose ``-(\\d+).ckpt$`` suffix search would also match checkpoints
+    of a sibling run whose prefix extends this one (``snap-lr01-700.ckpt``
+    matches prefix ``snap``) — fatal for prune(), which deletes."""
+    m = re.fullmatch(re.escape(path_prefix) + r"-(\d+)\.ckpt", path)
+    return int(m.group(1)) if m else None
+
+
 def prune(path_prefix: str, keep: int) -> list:
     """Delete all but the ``keep`` highest-step checkpoints of a prefix
     (the reference's Saver keeps a bounded history [M]); returns the
@@ -49,9 +59,9 @@ def prune(path_prefix: str, keep: int) -> list:
         return []
     found = []
     for p in glob.glob(f"{path_prefix}-*.ckpt"):
-        m = re.search(r"-(\d+)\.ckpt$", p)
-        if m:
-            found.append((int(m.group(1)), p))
+        step = _step_of(path_prefix, p)
+        if step is not None:
+            found.append((step, p))
     found.sort()
     removed = []
     for _, p in found[:-keep] if len(found) > keep else []:
@@ -67,9 +77,9 @@ def latest(path_prefix: str):
     """Highest-step checkpoint path for a prefix, or None."""
     best, best_step = None, -1
     for p in glob.glob(f"{path_prefix}-*.ckpt"):
-        m = re.search(r"-(\d+)\.ckpt$", p)
-        if m and int(m.group(1)) > best_step:
-            best, best_step = p, int(m.group(1))
+        step = _step_of(path_prefix, p)
+        if step is not None and step > best_step:
+            best, best_step = p, step
     return best
 
 

@@ -200,15 +200,19 @@ def train(cfg) -> dict:
         # loudly instead.
         from jax.experimental import multihost_utils
 
-        lead_step = int(
-            multihost_utils.broadcast_one_to_all(np.int32(start_step))
-        )
-        if lead_step != start_step:
+        # all-gather, not broadcast: EVERY process (including 0, whose
+        # local view can be the one that is ahead) must see the mismatch
+        # and raise — if only the behind hosts died, process 0 would
+        # enter the loop and hang in its first all-reduce
+        all_steps = np.asarray(
+            multihost_utils.process_allgather(np.int32(start_step))
+        ).reshape(-1)
+        if len(set(int(x) for x in all_steps)) > 1:
             raise RuntimeError(
-                f"resume step mismatch across hosts (process 0 at step "
-                f"{lead_step}, this host at {start_step}): weight_prefix "
-                f"must point at a SHARED filesystem so every host restores "
-                f"the checkpoint process 0 wrote"
+                f"resume step mismatch across hosts (per-process steps "
+                f"{[int(x) for x in all_steps]}): weight_prefix must point "
+                f"at a SHARED filesystem so every host restores the "
+                f"checkpoint process 0 wrote"
             )
 
     # metrics are global (psum) — only process 0 reports/logs (concurrent
@@ -243,7 +247,10 @@ def train(cfg) -> dict:
             if it % cfg.report_step == 0 or it == cfg.iteration or cfg.debug:
                 epoch = it * cfg.minibatch_size / events_per_epoch
                 row = _flatten_metrics(metrics)
-                row["lr"] = tv.lr_at(it)
+                # the step just taken was update number it-1 (optax
+                # schedules are indexed by prior-update count), so report
+                # the rate that was actually applied, not the next one
+                row["lr"] = tv.lr_at(it - 1)
                 if validator is not None:
                     row.update(validator(state))
                 if reporter is not None:
@@ -259,6 +266,7 @@ def train(cfg) -> dict:
                     )
         if jax.process_index() == 0:
             path = checkpoint.save(cfg.weight_prefix, it, state, vars(cfg))
+            checkpoint.prune(cfg.weight_prefix, getattr(cfg, "max_to_keep", 0))
             print(f"saved final checkpoint {path}", flush=True)
     finally:
         stopper.uninstall()

@@ -85,8 +85,20 @@ class Trainval:
                 "on CPU meshes (identical results, XLA collectives)."
             )
         if self._cp:
-            # points sharded over the mesh: ring kNN/gather/pool over ICI
-            ops = cp_graph_ops(POINT_AXIS, precision=precision, impl=ring_impl)
+            # points sharded over the mesh: ring kNN/gather/pool over ICI.
+            # Graph-build scoring precision follows --knn_precision (same
+            # knob as the single-device kernel), NOT the model precision.
+            knn_prec = (
+                jax.lax.Precision.HIGHEST
+                if getattr(cfg, "knn_precision", "highest") == "highest"
+                else jax.lax.Precision.DEFAULT
+            )
+            ops = cp_graph_ops(
+                POINT_AXIS,
+                precision=precision,
+                impl=ring_impl,
+                knn_precision=knn_prec,
+            )
             knn_fn = knn_fn or ops.knn
             extra_ops = {"gather_fn": ops.gather, "pool_fn": ops.pool}
         elif knn_fn is None and cfg.use_pallas:

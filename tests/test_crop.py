@@ -143,3 +143,61 @@ def test_corrupt_offsets_rejected(tmp_path):
     path.write_bytes(bytes(data))
     with pytest.raises(ValueError, match="corrupt DGB offsets"):
         DGBIO(str(path)).initialize()
+
+
+def test_csv_crop_matches_converted_formats(tmp_path):
+    """A CSV dump with NON-contiguous raw event ids (run/event numbers)
+    must crop the same rows as its csv2dgb conversion: seeded policies
+    key on the event's position in the file (Event.ordinal), never on
+    the raw id column, so training data cannot depend on io_type."""
+    rng = np.random.default_rng(3)
+    raw_ids = [100018, 100021, 100042]  # realistic, far from 0..N-1
+    lines = []
+    for eid in raw_ids:
+        pts = rng.normal(size=(40, 3))
+        for p in pts:
+            lines.append(f"{eid},{p[0]:.6f},{p[1]:.6f},{p[2]:.6f},1.0,1")
+    csv_path = tmp_path / "dump.csv"
+    csv_path.write_text("event_id,x,y,z,value,label\n" + "\n".join(lines))
+
+    from dgcnn_tpu.io.convert import main as convert_main
+    from dgcnn_tpu.io.readers import CSVIO
+
+    dgb_path = tmp_path / "dump.dgb"
+    convert_main(["csv2dgb", str(csv_path), str(dgb_path)])
+
+    csv_io = CSVIO(str(csv_path)).initialize()
+    dgb_io = DGBIO(str(dgb_path)).initialize()
+    for seed in (0, 7):
+        b_csv = pad_events(
+            [csv_io.read_event(i) for i in range(3)], 32, crop=16,
+            crop_mode="random", seed=seed,
+        )
+        b_dgb = pad_events(
+            [dgb_io.read_event(i) for i in range(3)], 32, crop=16,
+            crop_mode="random", seed=seed,
+        )
+        np.testing.assert_array_equal(b_csv.points, b_dgb.points)
+        np.testing.assert_array_equal(b_csv.labels, b_dgb.labels)
+    # write-back identity is preserved: the CSV reader still reports the
+    # file's raw event ids, not positions
+    assert [int(csv_io.read_event(i).id) for i in range(3)] == raw_ids
+    dgb_io.finalize()
+
+
+def test_prune_ignores_sibling_prefixes(tmp_path):
+    """prune('w/snap', ...) must never delete 'w/snap-lr01-*.ckpt' — a
+    sibling run whose prefix extends this one."""
+    from dgcnn_tpu.train import checkpoint
+
+    mine = [tmp_path / f"snap-{s}.ckpt" for s in (100, 200, 300)]
+    sibling = [tmp_path / f"snap-lr01-{s}.ckpt" for s in (50, 700)]
+    for p in mine + sibling:
+        p.write_bytes(b"x")
+    removed = checkpoint.prune(str(tmp_path / "snap"), keep=1)
+    assert sorted(removed) == [str(p) for p in mine[:2]]
+    for p in sibling:
+        assert p.exists(), f"sibling checkpoint {p} was deleted"
+    assert checkpoint.latest(str(tmp_path / "snap")) == str(mine[2])
+    # and the sibling's own prune only sees its own files
+    assert checkpoint.latest(str(tmp_path / "snap-lr01")) == str(sibling[1])

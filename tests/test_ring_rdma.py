@@ -152,5 +152,16 @@ def test_rdma_graph_ops_selectable():
     idx, valid = jax.jit(f)(x, mask)
     oi, ov = _oracle(x, mask, k)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(oi))
+    # the two impls must score with the SAME precision by default, so
+    # switching --ring_impl can never change the neighbor graph
+    ops_p = cp_graph_ops("points", impl="ppermute")
+    fp = shard_map(
+        lambda xs, ms: ops_p.knn(xs, k, ms),
+        mesh=_mesh(d),
+        in_specs=(P(None, "points"), P(None, "points")),
+        out_specs=(P(None, "points"), P(None, "points")),
+    )
+    idx_p, _ = jax.jit(fp)(x, mask)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_p))
     with pytest.raises(ValueError, match="unknown ring impl"):
         cp_graph_ops("points", impl="bogus")

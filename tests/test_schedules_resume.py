@@ -64,10 +64,11 @@ def test_max_to_keep_prunes_old_checkpoints(tmp_path):
     train(cfg)
     import glob
     ckpts = sorted(glob.glob(str(tmp_path / "w/s-*.ckpt")))
-    # periodic saves pruned to 2; the final save (step 9) is additional
+    # max_to_keep bounds the history INCLUDING the final save — the
+    # state a consumer sees at run end must honor the flag
     steps = sorted(int(p.rsplit("-", 1)[1].split(".")[0]) for p in ckpts)
-    assert len(steps) <= 3 and steps[-1] == 9, steps
-    assert 2 not in steps and 4 not in steps, steps  # oldest pruned
+    assert len(steps) == 2 and steps[-1] == 9, steps
+    assert steps[0] == 8, steps  # everything older pruned
 
 
 def test_lr_column_reported(tmp_path):
@@ -79,5 +80,8 @@ def test_lr_column_reported(tmp_path):
         row = f.readline().strip().split(",")
     assert "lr" in header
     lr = float(row[header.index("lr")])
-    # cosine at step 4 of an 8-step horizon = half the base rate
-    np.testing.assert_allclose(lr, 0.5e-2, rtol=1e-4)
+    # the row for iteration 4 reports the rate the 4th update actually
+    # applied = schedule(count=3) (optax indexes by prior-update count),
+    # not the next step's rate: cosine at 3 of an 8-step horizon
+    expect = 0.5e-2 * (1 + np.cos(np.pi * 3 / 8))
+    np.testing.assert_allclose(lr, expect, rtol=1e-4)
