@@ -38,6 +38,9 @@ BATCH = int(os.environ.get("BENCH_BATCH", 1))
 ITERS = int(os.environ.get("BENCH_ITERS", 10))
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 PRECISION = os.environ.get("BENCH_PRECISION", "default")
+# optional: measure with graph reuse (BENCH_KNN_EVERY=3). Default 1 keeps
+# the headline comparable across rounds (reference per-block semantics).
+KNN_EVERY = int(os.environ.get("BENCH_KNN_EVERY", 1))
 
 
 def measure(n_points: int, batch: int, iters: int, use_pallas: bool,
@@ -63,6 +66,7 @@ def measure(n_points: int, batch: int, iters: int, use_pallas: bool,
         num_point=n_points,
         use_pallas=use_pallas,
         precision=precision,
+        knn_every=KNN_EVERY,
     )
     tv = Trainval(cfg, mesh=make_mesh(1))
     state = tv.initialize(4)
