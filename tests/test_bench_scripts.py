@@ -1,0 +1,68 @@
+"""Benchmark-harness smoke: the measurement scripts stay runnable.
+
+bench.py / benchmarks/{profile_step,convergence}.py normally run on the
+real TPU only; these tiny-config CPU smokes keep their code paths from
+rotting between hardware runs (they have broken at exactly the moments
+a round wanted numbers)."""
+
+import importlib
+import os
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_measure_smoke():
+    sys.path.insert(0, ROOT)
+    try:
+        import bench
+
+        pps, ms = bench.measure(
+            256, 1, 1, use_pallas=False, precision="default"
+        )
+    finally:
+        sys.path.remove(ROOT)
+    assert pps > 0 and ms > 0
+
+
+def test_profile_step_smoke(monkeypatch, capsys):
+    monkeypatch.setenv("BENCH_N", "256")
+    monkeypatch.setenv("BENCH_B", "1")
+    monkeypatch.setenv("BENCH_ITERS", "1")
+    monkeypatch.setenv("BENCH_PALLAS", "0")
+    monkeypatch.setenv("BENCH_KNN_EVERY", "2")
+    sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
+    try:
+        import profile_step
+
+        importlib.reload(profile_step)  # re-read the env knobs
+        profile_step.main()
+    finally:
+        sys.path.remove(os.path.join(ROOT, "benchmarks"))
+    out = capsys.readouterr().out
+    assert "train step (fwd+bwd+opt)" in out
+
+
+def test_convergence_run_smoke(monkeypatch):
+    sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
+    try:
+        import convergence
+
+        r = convergence.run(
+            steps=3,
+            n_point=256,
+            edge_filters=(8, 8),
+            head=(16, (16,)),
+            minibatch=1,
+            num_events=2,
+            kvalue=4,
+            use_pallas=False,
+            num_devices=1,
+            knn_every=2,
+        )
+    finally:
+        sys.path.remove(os.path.join(ROOT, "benchmarks"))
+    assert 0.0 <= r["val_acc"] <= 1.0 and 0.0 <= r["val_miou"] <= 1.0
+    assert r["final_loss"] > 0
