@@ -138,6 +138,62 @@ def restore_subtrees(path: str, templates: dict, payload: dict | None = None):
     return out, int(payload["step"]), json.loads(payload["config"])
 
 
+# flags that define the trained function but do NOT all change parameter
+# shapes — kvalue, knn_every and (at uniform widths) model_name alter
+# predictions with byte-identical checkpoints, so a serving run that
+# forgets to repeat them would silently compute a different model
+MODEL_FLAGS = (
+    "model_name", "num_class", "kvalue", "edge_filters",
+    "head_feat_dim", "head_mlp", "global_pool", "knn_every",
+)
+
+
+def model_flag_diffs(cfg, saved: dict) -> dict:
+    """{flag: (current, saved)} for model-defining flags that disagree
+    with the checkpoint's recorded config."""
+    diffs = {}
+    for k in MODEL_FLAGS:
+        if k not in saved or saved[k] is None:
+            continue
+        cur = getattr(cfg, k, None)
+        sav = saved[k]
+        if isinstance(cur, tuple):
+            sav = tuple(sav)
+        if cur != sav:
+            diffs[k] = (cur, sav)
+    return diffs
+
+
+def adopt_model_flags(cfg, path: str | None = None, payload: dict | None = None):
+    """Return ``cfg`` with the checkpoint's model-defining flags adopted.
+
+    Inference/export call this so the served function IS the trained
+    function regardless of which flags the user repeated on the command
+    line (training-time flags like lr/optimizer are never touched).
+    Prints what was adopted; re-validates the merged config."""
+    import dataclasses
+
+    if payload is None:
+        payload = peek(path)
+    saved = json.loads(payload.get("config", "{}"))
+    diffs = model_flag_diffs(cfg, saved)
+    if not diffs:
+        return cfg
+    repl = {
+        k: (tuple(sav) if isinstance(getattr(cfg, k), tuple) else sav)
+        for k, (_, sav) in diffs.items()
+    }
+    print(
+        "adopting model flags from checkpoint: "
+        + ", ".join(f"{k}={v}" for k, v in sorted(repl.items())),
+        flush=True,
+    )
+    cfg = dataclasses.replace(cfg, **repl)
+    if hasattr(cfg, "validate"):
+        cfg.validate()
+    return cfg
+
+
 def restore(path: str, tree_template):
     """Load a checkpoint into the structure of ``tree_template``.
 

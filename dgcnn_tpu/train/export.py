@@ -75,6 +75,11 @@ def run_export(cfg) -> str:
     # checkpoint itself: the first EdgeConv weight is (2*in_dim, C_out),
     # so a model trained on F!=4 events exports correctly.
     payload = checkpoint.peek(cfg.model_path)
+    # serve exactly the trained function: adopt the checkpoint's
+    # model-defining flags (kvalue/knn_every/... don't all change
+    # parameter shapes, so a mismatch would export a DIFFERENT model
+    # from byte-identical weights without any error)
+    cfg = checkpoint.adopt_model_flags(cfg, payload=payload)
     try:
         in_dim = int(payload["tree"]["params"]["blocks"]["0"]["w"].shape[0]) // 2
     except (KeyError, AttributeError) as e:

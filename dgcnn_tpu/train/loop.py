@@ -185,7 +185,20 @@ def train(cfg) -> dict:
     if not restore_from and getattr(cfg, "auto_resume", False):
         restore_from = checkpoint.latest(cfg.weight_prefix) or ""
     if restore_from:
-        state, start_step, _ = checkpoint.restore(restore_from, state)
+        state, start_step, saved_cfg = checkpoint.restore(restore_from, state)
+        diffs = checkpoint.model_flag_diffs(cfg, saved_cfg or {})
+        if diffs:
+            # a resume may legitimately change shape-invariant model
+            # flags (e.g. fine-tune with a different k) — but never
+            # silently: the trajectory will differ from the original run
+            print(
+                "WARNING: model flags differ from the checkpoint "
+                + ", ".join(
+                    f"{k}: now {cur!r}, trained with {sav!r}"
+                    for k, (cur, sav) in sorted(diffs.items())
+                ),
+                flush=True,
+            )
         state = state._replace(step=jax.numpy.asarray(start_step, jax.numpy.int32))
         # fold the resume step into the shuffle seed: a resumed run must
         # continue with a fresh batch order, not re-train on the epoch's
@@ -309,6 +322,12 @@ def inference(cfg) -> dict:
     process 0 holds every event for write-back.
     """
     nproc, pid = jax.process_count(), jax.process_index()
+    if not cfg.model_path:
+        raise ValueError("inference requires --model_path")
+    # the served function must BE the trained function: adopt the
+    # checkpoint's model-defining flags (kvalue, knn_every, widths, ...)
+    # so predictions cannot silently diverge when a flag isn't repeated
+    cfg = checkpoint.adopt_model_flags(cfg, cfg.model_path)
     io, batcher, in_dim, _ = _build_io(cfg, shuffle=False, subset=False)
     if nproc > 1 and cfg.minibatch_size % nproc:
         raise ValueError(
@@ -317,8 +336,6 @@ def inference(cfg) -> dict:
         )
     tv = Trainval(cfg)
     state = tv.initialize(in_dim)
-    if not cfg.model_path:
-        raise ValueError("inference requires --model_path")
     # params + BN state only: inference never touches optimizer state,
     # and requiring optimizer/schedule flags to match the training run
     # just to predict would be hostile (export does the same)

@@ -175,3 +175,68 @@ def test_inference_without_labels(tmp_path):
     with h5py.File(tmp_path / "pred_unlabeled.h5") as f:
         assert len(f["event_ids"]) == 6
         assert len(f["prediction"]) == sum(min(len(e), 192) for e in events)
+
+
+def test_inference_adopts_checkpoint_model_flags(tmp_path, capsys):
+    """kvalue/knn_every change predictions without changing parameter
+    shapes — inference must adopt the checkpoint's model-defining flags
+    so forgetting to repeat them cannot silently serve a different
+    model."""
+    import dataclasses
+
+    from dgcnn_tpu.io.synthetic import write_canonical as _wc
+    from dgcnn_tpu.io import SyntheticIO as _S
+
+    events = [
+        _S(num_events=8, num_point=96, seed=3).initialize().read_event(i)
+        for i in range(8)
+    ]
+    data = str(tmp_path / "ev.h5")
+    _wc(data, events, "h5")
+
+    trained = _cfg(
+        tmp_path, kvalue=5, knn_every=2, iteration=6, checkpoint_step=0,
+        io_type="h5", input_file=data, minibatch_size=8, num_point=96,
+    )
+    train(trained)
+    ckpt = str(tmp_path / "w/snap-6.ckpt")
+    assert os.path.exists(ckpt)
+
+    def infer(cfg_kw, out):
+        cfg = _cfg(
+            tmp_path, command="inference", io_type="h5", input_file=data,
+            minibatch_size=8, num_point=96, model_path=ckpt,
+            output_file=str(tmp_path / out), iteration=0,
+            log_dir=str(tmp_path / "log_inf"), **cfg_kw,
+        )
+        return inference(cfg)
+
+    # matching flags = ground truth; DEFAULT flags (k=8, knn_every=1 from
+    # _cfg) must be overridden by adoption and give identical metrics
+    m_match = infer(dict(kvalue=5, knn_every=2), "a.h5")
+    capsys.readouterr()
+    m_default = infer({}, "b.h5")
+    out = capsys.readouterr().out
+    assert "adopting model flags from checkpoint" in out
+    assert "knn_every=2" in out and "kvalue=5" in out
+    assert m_match["acc"] == m_default["acc"]
+    assert m_match["miou"] == m_default["miou"]
+    import h5py
+
+    with h5py.File(tmp_path / "a.h5") as fa, h5py.File(tmp_path / "b.h5") as fb:
+        np.testing.assert_array_equal(fa["scores"][:], fb["scores"][:])
+
+
+def test_resume_warns_on_model_flag_mismatch(tmp_path, capsys):
+    cfg = _cfg(tmp_path, iteration=4, checkpoint_step=0, kvalue=6)
+    train(cfg)
+    capsys.readouterr()
+    import dataclasses
+
+    cfg2 = dataclasses.replace(
+        cfg, kvalue=8, iteration=6,
+        model_path=str(tmp_path / "w/snap-4.ckpt"),
+    )
+    train(cfg2)
+    out = capsys.readouterr().out
+    assert "WARNING: model flags differ" in out and "kvalue" in out
