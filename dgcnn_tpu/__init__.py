@@ -34,4 +34,4 @@ tf.train.Saver ckpt [H]     dgcnn_tpu.train.checkpoint
 ==========================  ==========================================
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

@@ -44,9 +44,19 @@ def augment_batch(
 
 
 def augment_stream(batches, seed: int, **kw):
-    """Wrap a batch iterator with seeded augmentation."""
+    """Wrap a batch iterator with seeded augmentation.
+
+    Multi-host: the seed folds in the process index, so each host draws
+    DIFFERENT transforms for its slice of the global batch (identical
+    draws would correlate row i's rotation/jitter across all hosts and
+    shrink effective augmentation diversity by process_count)."""
+    import jax
+
+    pid = jax.process_index()
     counter = 0
     for batch in batches:
-        rng = np.random.RandomState((seed * 1_000_003 + counter) % (2**31 - 1))
+        rng = np.random.RandomState(
+            (seed * 1_000_003 + pid * 7_368_787 + counter) % (2**31 - 1)
+        )
         counter += 1
         yield augment_batch(batch, rng, **kw)

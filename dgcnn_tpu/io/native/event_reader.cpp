@@ -266,9 +266,20 @@ int dgb_read_batch(void* handle, const int64_t* event_ids, int64_t batch,
   if (batch <= 1) {
     for (int64_t b = 0; b < batch; ++b) worker(b);
   } else {
+    // bounded worker count: one thread PER EVENT would put thread
+    // create/join on the per-step hot path (and can exceed container
+    // thread limits at large batches); a few workers striding over the
+    // batch do the same memcpy work with constant overhead
+    const unsigned hw = std::thread::hardware_concurrency();
+    const int64_t n_workers =
+        std::min<int64_t>(batch, std::max(2u, hw ? hw : 8u));
     std::vector<std::thread> threads;
-    threads.reserve(batch);
-    for (int64_t b = 0; b < batch; ++b) threads.emplace_back(worker, b);
+    threads.reserve(n_workers);
+    for (int64_t w = 0; w < n_workers; ++w) {
+      threads.emplace_back([&, w]() {
+        for (int64_t b = w; b < batch; b += n_workers) worker(b);
+      });
+    }
     for (auto& t : threads) t.join();
   }
   return rc.load();

@@ -100,12 +100,22 @@ def write_canonical(path: str, events, format: str = "h5"):
     offsets = np.zeros(len(events) + 1, np.int64)
     np.cumsum([len(e) for e in events], out=offsets[1:])
     arrays = {"data": points, "offsets": offsets}
-    if events[0].labels is not None:
-        arrays["label"] = np.concatenate([e.labels for e in events]).astype(np.int32)
-    if events[0].weights is not None:
-        arrays["weight"] = np.concatenate([e.weights for e in events]).astype(
-            np.float32
-        )
+    # all-or-nothing per array, like write_dgb: gating on events[0] alone
+    # would crash in concatenate (first has, later lacks) or silently
+    # drop weights (first lacks, later have) on mixed event lists
+    for key, attr, dtype in (("label", "labels", np.int32),
+                             ("weight", "weights", np.float32)):
+        have = [getattr(e, attr) is not None for e in events]
+        if all(have):
+            arrays[key] = np.concatenate(
+                [getattr(e, attr) for e in events]
+            ).astype(dtype)
+        elif any(have):
+            print(
+                f"write_canonical: {sum(have)}/{len(events)} events carry "
+                f"{attr}; mixed lists write NO {key} array",
+                flush=True,
+            )
     if format == "h5":
         import h5py
 

@@ -136,11 +136,15 @@ def _vma(x):
         return frozenset()
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "block_q", "block_t", "interpret", "precision"),
-)
-def _knn_pallas_call(xq, xk, mask, *, k, block_q, block_t, interpret, precision):
+def build_augmented_operands(xq, xk, mask, *, block_q, block_t):
+    """The score-defining operand construction, in exactly ONE place.
+
+    Shared by the single-device kernel and the RDMA ring kernel
+    (`kernels.ring_knn_rdma`) so the two can never drift: the documented
+    guarantee that switching ring implementations does not change the
+    neighbor graph rests on their per-element score expressions being
+    bitwise identical. Returns ``(qa, ka, cp, nq_pad, nk_pad)``.
+    """
     b, nq, c = xq.shape
     nk = xk.shape[1]
     # graph construction is non-differentiable (integer neighbor indices,
@@ -173,6 +177,19 @@ def _knn_pallas_call(xq, xk, mask, *, k, block_q, block_t, interpret, precision)
     if nk_pad - nk:
         # padded key rows must never be selected: flag via the BIG channel
         ka = ka.at[:, nk:, c + 1].set(MASK_BIG)
+    return qa, ka, cp, nq_pad, nk_pad
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_q", "block_t", "interpret", "precision"),
+)
+def _knn_pallas_call(xq, xk, mask, *, k, block_q, block_t, interpret, precision):
+    b, nq, c = xq.shape
+    nk = xk.shape[1]
+    qa, ka, cp, nq_pad, nk_pad = build_augmented_operands(
+        xq, xk, mask, block_q=block_q, block_t=block_t
+    )
 
     grid = (b, nq_pad // block_q, nk_pad // block_t)
     idx_t, val_t = pl.pallas_call(

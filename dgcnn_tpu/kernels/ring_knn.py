@@ -27,14 +27,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from dgcnn_tpu.parallel.collectives import ppermute_ring
 from dgcnn_tpu.parallel.mesh import POINT_AXIS
 
 
 def _ring_pass(x, axis_name):
     """Send our block to the next device in the ring (and receive)."""
-    n = jax.lax.axis_size(axis_name)
-    perm = [(i, (i + 1) % n) for i in range(n)]
-    return jax.lax.ppermute(x, axis_name, perm)
+    return ppermute_ring(x, 1, axis_name)
 
 
 def _block_scores(q, blk, blk_mask, precision):

@@ -54,7 +54,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dgcnn_tpu.kernels.knn_pallas import MASK_BIG, NEG_INF, _round_up, _vma
+from dgcnn_tpu.kernels.knn_pallas import (
+    NEG_INF,
+    _round_up,
+    _vma,
+    build_augmented_operands,
+)
 from dgcnn_tpu.parallel.mesh import POINT_AXIS
 
 _COLLECTIVE_ID = 0x1D  # shared by every invocation of this kernel
@@ -295,25 +300,12 @@ def _ring_knn_call(
     precision, n_shards,
 ):
     b, nl, c = x_shard.shape
-    x = jax.lax.stop_gradient(x_shard).astype(jnp.float32)
-    if mask_shard is None:
-        mask_shard = jnp.ones((b, nl), bool)
-    maskf = mask_shard.astype(jnp.float32)[..., None]
-    k2 = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
-    ones = jnp.ones_like(x[..., :1])
-    qa = jnp.concatenate([2.0 * x, -ones, -ones], axis=-1)
-    ka = jnp.concatenate([x, k2, MASK_BIG * (1.0 - maskf)], axis=-1)
-    cp = _round_up(qa.shape[-1], 128)
-    pad_c = cp - qa.shape[-1]
-    nq_pad = _round_up(nl, block_q)
-    nk_pad = _round_up(nl, block_t)
-    qa = jnp.pad(qa, ((0, 0), (0, nq_pad - nl), (0, pad_c)))
-    ka = jnp.pad(
-        jnp.pad(ka, ((0, 0), (0, 0), (0, pad_c))),
-        ((0, 0), (0, nk_pad - nl), (0, 0)),
+    # score-defining operand construction shared with knn_pallas — the
+    # bit-identical expression is what makes the ring's global tie order
+    # equal the single-device kernel's (and the oracle's)
+    qa, ka, cp, nq_pad, nk_pad = build_augmented_operands(
+        x_shard, x_shard, mask_shard, block_q=block_q, block_t=block_t
     )
-    if nk_pad - nl:
-        ka = ka.at[:, nl:, c + 1].set(MASK_BIG)
 
     grid = (n_shards, b, nq_pad // block_q)
     kernel = functools.partial(

@@ -88,9 +88,22 @@ def batch_norm_apply(
         denom = jnp.maximum(count, 1.0)
         mean = s1 / denom
         var = jnp.maximum(s2 / denom - jnp.square(mean), 0.0)
+        # an all-masked batch (count==0 — e.g. a DP replica that got only
+        # padded filler rows under --no_bn_sync) must leave the running
+        # statistics UNTOUCHED: blending in the degenerate mean=0/var=0
+        # would drag saved inference stats toward zero every epoch tail
+        has_data = count > 0
         new_state = {
-            "mean": momentum * state["mean"] + (1.0 - momentum) * mean,
-            "var": momentum * state["var"] + (1.0 - momentum) * var,
+            "mean": jnp.where(
+                has_data,
+                momentum * state["mean"] + (1.0 - momentum) * mean,
+                state["mean"],
+            ),
+            "var": jnp.where(
+                has_data,
+                momentum * state["var"] + (1.0 - momentum) * var,
+                state["var"],
+            ),
         }
     else:
         mean, var = state["mean"], state["var"]

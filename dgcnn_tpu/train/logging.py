@@ -89,10 +89,14 @@ class Reporter:
         name: str = "train",
         tensorboard: bool = False,
         append: bool = False,
+        start_iter: int = 0,
     ):
         self.csv = CSVData(os.path.join(log_dir, f"{name}_log.csv"), append=append)
         self._t_last = time.perf_counter()
-        self._iter_last = 0
+        # a resumed run's first report must divide by the iterations run
+        # THIS session, not by the absolute step count (t/iter would be
+        # understated ~start/report_step-fold otherwise)
+        self._iter_last = start_iter
         self._tb = None
         if tensorboard:
             try:

@@ -233,7 +233,7 @@ def train(cfg) -> dict:
     reporter = (
         Reporter(
             cfg.log_dir, "train", tensorboard=cfg.tensorboard,
-            append=start_step > 0,
+            append=start_step > 0, start_iter=start_step,
         )
         if jax.process_index() == 0
         else None
@@ -251,9 +251,26 @@ def train(cfg) -> dict:
         batches = augment_stream(batches, cfg.seed + start_step)
     stream = prefetch(batches, cfg.prefetch)
     stopper = _GracefulStop().install()
+    nproc = jax.process_count()
+
+    def agreed_stop() -> bool:
+        # multi-host: a signal lands on ONE process; if that host broke
+        # out unilaterally the others would hang in the next all-reduce.
+        # Agree on the flag every iteration (a 1-int DCN allgather —
+        # negligible next to a multi-host step) so all hosts stop at the
+        # same iteration or none do.
+        if nproc == 1:
+            return stopper.stop
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.int32(1 if stopper.stop else 0)
+        )
+        return bool(np.asarray(flags).any())
+
     try:
         for batch in stream:
-            if it >= cfg.iteration or stopper.stop:
+            if it >= cfg.iteration or agreed_stop():
                 break
             state, metrics = tv.train_step(state, batch)
             it += 1

@@ -78,3 +78,36 @@ def test_batch_norm_eval_uses_running_stats():
     y, new_state = batch_norm_apply(params, state, x, train=False, eps=0.0)
     np.testing.assert_allclose(np.asarray(y), 1.0, rtol=1e-6)
     assert new_state is state
+
+
+def test_bn_all_masked_batch_leaves_running_stats_unchanged():
+    """A replica that received only padded filler rows (count==0) must
+    not blend the degenerate mean=0/var=0 into its running statistics —
+    epoch-tail filler batches would otherwise drag saved inference stats
+    toward zero under --no_bn_sync."""
+    import jax.numpy as jnp
+
+    from dgcnn_tpu.ops.norm import batch_norm_apply, batch_norm_init
+
+    params, state = batch_norm_init(8)
+    state = {
+        "mean": jnp.full((8,), 1.5),
+        "var": jnp.full((8,), 2.0),
+    }
+    x = jnp.ones((2, 16, 8)) * 42.0  # garbage in fully-masked rows
+    mask = jnp.zeros((2, 16), bool)
+    _, new_state = batch_norm_apply(
+        params, state, x, mask, train=True, momentum=0.9
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_state["mean"]), np.asarray(state["mean"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_state["var"]), np.asarray(state["var"])
+    )
+    # sanity: a batch WITH data still updates
+    mask2 = mask.at[0, :4].set(True)
+    _, upd = batch_norm_apply(
+        params, state, x, mask2, train=True, momentum=0.9
+    )
+    assert not np.allclose(np.asarray(upd["mean"]), np.asarray(state["mean"]))
