@@ -42,6 +42,8 @@ def test_train_step_finite_under_fuzz(case):
         use_pallas=False,
         dropout=float(rng.choice([0.0, 0.3])),
         remat=bool(rng.randint(2)),
+        knn_every=int(rng.choice([1, 2, 3])),
+        precision=str(rng.choice(["highest", "bfloat16"])),
         seed=case,
     )
     tv = Trainval(cfg)
