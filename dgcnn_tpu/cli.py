@@ -12,6 +12,12 @@ from dgcnn_tpu.config import parse_args
 
 
 def main(argv=None):
+    args = list(sys.argv[1:] if argv is None else argv)
+    if args[:1] == ["info"]:
+        # diagnostics never require the full flag surface
+        from dgcnn_tpu.config import print_info
+
+        return print_info()
     cfg = parse_args(argv)
     try:
         cfg.validate()

@@ -296,6 +296,9 @@ def build_parser() -> argparse.ArgumentParser:
         "export", help="serialize a checkpoint to a serving artifact"
     )
     _add_common_flags(exp)
+    sub.add_parser(
+        "info", help="print environment/runtime diagnostics and exit"
+    )
     return p
 
 
@@ -305,3 +308,39 @@ def parse_args(argv=None) -> Config:
     if d.get("edge_filters") is None:
         d["edge_filters"] = None
     return Config.from_dict(d)
+
+
+def print_info() -> int:
+    """`dgcnn_tpu info`: the environment facts a deployment bug report
+    needs — versions, backend, devices, native-IO build status."""
+    import platform
+
+    import dgcnn_tpu
+
+    print(f"dgcnn_tpu   {dgcnn_tpu.__version__}")
+    print(f"python      {platform.python_version()} ({platform.machine()})")
+    import jax
+
+    print(f"jax         {jax.__version__}")
+    try:
+        devs = jax.devices()
+        print(f"backend     {jax.default_backend()} ({len(devs)} device(s))")
+        for d in devs[:8]:
+            print(f"  - {d}")
+        if len(devs) > 8:
+            print(f"  ... and {len(devs) - 8} more")
+    except Exception as e:  # no usable backend is itself the diagnosis
+        print(f"backend     UNAVAILABLE: {e}")
+    print(
+        f"multi-host  process {jax.process_index()}/{jax.process_count()}"
+    )
+    from dgcnn_tpu.io import native
+
+    lib = native.load()
+    print(
+        "native IO   "
+        + ("libdgbio.so loaded (C++ batch assembler active)"
+           if lib is not None
+           else "unavailable (pure-Python DGB fallback in use)")
+    )
+    return 0

@@ -41,3 +41,12 @@ def test_cli_help_does_not_require_jax(capsys):
         parse_args(["train", "--help"])
     assert e.value.code == 0
     assert "KVALUE" in capsys.readouterr().out or True
+
+
+def test_info_subcommand(capsys):
+    from dgcnn_tpu.cli import main
+
+    assert main(["info"]) == 0
+    out = capsys.readouterr().out
+    assert "dgcnn_tpu" in out and "jax" in out
+    assert "backend" in out and "native IO" in out
