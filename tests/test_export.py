@@ -143,3 +143,43 @@ def test_export_derives_in_dim_from_checkpoint(tmp_path):
     live = jax.nn.softmax(logits, -1)
     served = load_exported(path)(points, mask)
     np.testing.assert_allclose(np.asarray(served), np.asarray(live), atol=1e-5)
+
+
+def test_export_adopts_checkpoint_model_flags(tmp_path, capsys):
+    """Export with mismatched shape-invariant flags (kvalue/knn_every)
+    must adopt the checkpoint's values — the artifact serves the trained
+    function, byte-for-byte, regardless of what the CLI repeated."""
+    cfg = Config(
+        command="train",
+        iteration=4,
+        report_step=4,
+        checkpoint_step=0,
+        weight_prefix=str(tmp_path / "w/s"),
+        log_dir=str(tmp_path / "log"),
+        knn_every=2,
+        **{**SMALL, "kvalue": 5, "edge_filters": (8, 8)},
+    )
+    train(cfg)
+    ckpt = checkpoint.latest(str(tmp_path / "w"  ) + "/s")
+    assert ckpt
+
+    out_good = str(tmp_path / "good.jaxir")
+    run_export(dataclasses.replace(
+        cfg, command="export", model_path=ckpt, output_file=out_good,
+        minibatch_size=1,
+    ))
+    capsys.readouterr()
+    out_bad = str(tmp_path / "bad.jaxir")
+    run_export(dataclasses.replace(
+        cfg, command="export", model_path=ckpt, output_file=out_bad,
+        minibatch_size=1, kvalue=8, knn_every=1,  # "forgot" the flags
+    ))
+    printed = capsys.readouterr().out
+    assert "adopting model flags from checkpoint" in printed
+
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.randn(1, cfg.num_point, 4), jnp.float32)
+    mask = jnp.ones((1, cfg.num_point), bool)
+    sa = load_exported(out_good)(pts, mask)
+    sb = load_exported(out_bad)(pts, mask)
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
