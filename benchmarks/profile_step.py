@@ -135,7 +135,7 @@ def main():
     s, m = step(state)
     float(m["loss"])
     t0 = time.perf_counter()
-    iters = 5
+    iters = ITERS  # same knob as every other stage (BENCH_ITERS)
     for _ in range(iters):
         s, m = step(s)
     float(m["loss"])

@@ -264,7 +264,7 @@ def prefetch(it: Iterator, size: int = 2) -> Iterator:
         except BaseException as e:  # propagate into the consumer
             _put(e)
 
-    t = threading.Thread(target=worker, daemon=True)
+    t = threading.Thread(target=worker, daemon=True, name="dgcnn-prefetch")
     t.start()
     try:
         while True:

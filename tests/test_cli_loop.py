@@ -92,7 +92,7 @@ def test_train_checkpoint_resume_inference(tmp_path):
     import h5py
 
     with h5py.File(tmp_path / "pred.h5", "r") as f:
-        assert sorted(f.keys()) >= ["data", "event_ids", "offsets", "prediction"]
+        assert set(f.keys()) >= {"data", "event_ids", "offsets", "prediction"}
         ids = np.asarray(f["event_ids"])
         off = np.asarray(f["offsets"])
         assert len(ids) == 16

@@ -40,7 +40,8 @@ def test_cli_help_does_not_require_jax(capsys):
     with pytest.raises(SystemExit) as e:
         parse_args(["train", "--help"])
     assert e.value.code == 0
-    assert "KVALUE" in capsys.readouterr().out or True
+    out = capsys.readouterr().out
+    assert "KVALUE" in out and "--kvalue" in out
 
 
 def test_info_subcommand(capsys):

@@ -35,7 +35,13 @@ SMALL = dict(
 @pytest.fixture(scope="module")
 def two_proc_results(tmp_path_factory):
     workdir = str(tmp_path_factory.mktemp("mh"))
-    port = 9500 + os.getpid() % 450
+    # ask the OS for a free port (a pid-derived constant can collide
+    # across concurrent pytest runs or other services)
+    import socket
+
+    with socket.socket() as _s:
+        _s.bind(("127.0.0.1", 0))
+        port = _s.getsockname()[1]
     env = dict(os.environ)
     procs = [
         subprocess.Popen(

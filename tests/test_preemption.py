@@ -68,3 +68,28 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
 
     ckpts = glob.glob(prefix + "-*.ckpt")
     assert ckpts, "no checkpoint written on SIGTERM"
+
+    # the resume half: a fresh run with auto_resume must CONTINUE from
+    # the preemption checkpoint, not restart from step 0
+    import dataclasses
+
+    from dgcnn_tpu.train import checkpoint as _ckpt
+    from dgcnn_tpu.train.loop import train as _train
+    from dgcnn_tpu.config import Config as _Config
+
+    saved_step = max(
+        int(p.rsplit("-", 1)[1].split(".")[0]) for p in ckpts
+    )
+    assert saved_step >= 10
+    cfg2 = _Config(
+        command="train", io_type="synthetic", num_class=2, kvalue=6,
+        edge_filters=(8,), head_feat_dim=16, head_mlp=(16,),
+        minibatch_size=4, num_point=128, iteration=saved_step + 4,
+        report_step=2, checkpoint_step=0, use_pallas=False, num_devices=1,
+        seed=7, weight_prefix=prefix, log_dir=str(tmp_path / "log"),
+        auto_resume=True,
+    )
+    _train(cfg2)
+    latest = _ckpt.latest(prefix)
+    final_step = int(latest.rsplit("-", 1)[1].split(".")[0])
+    assert final_step == saved_step + 4, (saved_step, latest)

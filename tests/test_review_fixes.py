@@ -47,10 +47,16 @@ def test_prefetch_close_joins_worker():
 
     it = prefetch(gen(), size=2)
     assert next(it) == 1
-    n_threads_before = threading.active_count()
+    # identify the worker by name — asserting on the GLOBAL thread count
+    # races with unrelated pool threads starting/stopping
+    workers = [
+        t for t in threading.enumerate() if t.name == "dgcnn-prefetch"
+    ]
+    assert workers, "prefetch worker not found"
     it.close()
-    time.sleep(0.3)
-    assert threading.active_count() < n_threads_before  # worker exited
+    for t in workers:
+        t.join(timeout=3.0)
+    assert all(not t.is_alive() for t in workers)  # worker exited
     produced_after_close = state["produced"]
     time.sleep(0.3)
     assert state["produced"] == produced_after_close  # no more production

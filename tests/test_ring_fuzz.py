@@ -46,7 +46,11 @@ def _draw(rng):
         i, j = rng.integers(0, n, size=2)
         x[:, i] = x[:, j]
     mask = rng.random((b, n)) > rng.choice([0.0, 0.1, 0.5])
-    return d, b, k, x, mask.astype(bool)
+    mask = mask.astype(bool)
+    if rng.random() < 0.5:
+        mask[0] = False  # a fully-masked event row, explicitly — random
+        #                  per-point draws would essentially never hit it
+    return d, b, k, x, mask
 
 
 @pytest.mark.parametrize("impl", ["ppermute", "rdma"])

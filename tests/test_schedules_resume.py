@@ -52,9 +52,21 @@ def test_auto_resume_continues(tmp_path):
     # second invocation with auto_resume picks up step 8 and continues
     m2 = train(_cfg(tmp_path, iteration=12, auto_resume=True))
     assert os.path.exists(tmp_path / "w/s-12.ckpt")
-    # and a cold run without auto_resume starts over (no step-12 → 8 again)
-    m3 = train(_cfg(tmp_path, iteration=8, weight_prefix=str(tmp_path / "w2/s")))
-    assert os.path.exists(tmp_path / "w2/s-8.ckpt")
+    # and a run without auto_resume IGNORES the existing step-12
+    # checkpoint in the SAME directory: it trains from step 0 and its
+    # final save is s-8 (a regression that always resumed would do zero
+    # steps past 12 and never produce a step-8 save from this config)
+    import csv as _csv
+
+    m3 = train(_cfg(tmp_path, iteration=8))
+    assert os.path.exists(tmp_path / "w/s-8.ckpt")
+    # a cold (non-resume) run truncates the CSV and reports from step 0:
+    # its first data row must be an early iteration, not a post-12 one
+    with open(tmp_path / "log/train_log.csv") as f:
+        first_new = int(next(_csv.DictReader(f))["iter"])
+    assert first_new <= 5, (
+        f"cold run did not start from step 0 (first report iter {first_new})"
+    )
 
 
 def test_max_to_keep_prunes_old_checkpoints(tmp_path):

@@ -38,9 +38,7 @@ def test_weights_change_loss():
         lengths=batch.lengths,
     )
     state2 = tv.initialize(4)
-    _, m_plain = tv.train_step(state2, batch.__class__(
-        points=batch.points, labels=batch.labels, weights=None,
-        mask=batch.mask, event_ids=batch.event_ids, lengths=batch.lengths))
+    _, m_plain = tv.train_step(state2, unweighted)
     assert abs(float(m_weighted["loss"]) - float(m_plain["loss"])) > 1e-6
 
 
