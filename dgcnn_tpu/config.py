@@ -54,6 +54,9 @@ class Config:
     auto_resume: bool = False  # resume from latest weight_prefix ckpt
     max_to_keep: int = 0  # checkpoint retention; 0 = keep all
     augment: bool = False  # host-side train augmentation (z-rot/scale/jitter)
+    # stop when val_loss hasn't improved for N consecutive validations
+    # (0 = never; requires --val_file)
+    early_stop_patience: int = 0
     # io
     io_type: str = "h5"  # h5 | npz | csv | dgb | synthetic
     input_file: str = ""
@@ -141,6 +144,10 @@ class Config:
             raise ValueError(f"NUM_CLASS must be >= 2, got {self.num_class}")
         if self.point_shards < 1:
             raise ValueError("point_shards must be >= 1")
+        if self.early_stop_patience < 0:
+            raise ValueError("early_stop_patience must be >= 0")
+        if self.early_stop_patience and not self.val_file:
+            raise ValueError("--early_stop_patience requires --val_file")
         if self.knn_every < 1:
             raise ValueError(f"knn_every must be >= 1, got {self.knn_every}")
         if self.ring_impl not in ("ppermute", "rdma"):
@@ -283,6 +290,9 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--max_to_keep", type=int, default=0,
                     help="keep only the newest N checkpoints "
                     "(0 = keep all; the reference Saver keeps 5)")
+    tr.add_argument("--early_stop_patience", type=int, default=0,
+                    help="stop when val_loss hasn't improved for N "
+                    "consecutive validations (0 = never; needs -vf)")
     tr.add_argument("--augment", action="store_true",
                     help="seeded train-time augmentation on the host: "
                     "random z-rotation, scale 0.95-1.05, coord jitter")

@@ -87,7 +87,18 @@ def _make_validator(cfg, tv):
         return None
     import dataclasses
 
-    val_cfg = dataclasses.replace(cfg, input_file=cfg.val_file)
+    # the validation file's FORMAT follows its own extension, not the
+    # training io_type — `-io dgb -vf val.h5` is a perfectly reasonable
+    # pairing and previously died with "not a DGB file"
+    ext_kind = {
+        ".csv": "csv", ".npz": "npz", ".dgb": "dgb",
+        ".h5": "h5", ".hdf5": "h5",
+    }.get(os.path.splitext(cfg.val_file)[1].lower())
+    val_cfg = dataclasses.replace(
+        cfg,
+        input_file=cfg.val_file,
+        io_type=ext_kind or cfg.io_type,
+    )
     val_io = io_factory(val_cfg).initialize()
     val_batcher = BucketBatcher(
         val_io,
@@ -268,9 +279,12 @@ def train(cfg) -> dict:
         )
         return bool(np.asarray(flags).any())
 
+    patience = int(getattr(cfg, "early_stop_patience", 0) or 0)
+    best_val, stale = float("inf"), 0
+    early_stopped = False
     try:
         for batch in stream:
-            if it >= cfg.iteration or agreed_stop():
+            if it >= cfg.iteration or early_stopped or agreed_stop():
                 break
             state, metrics = tv.train_step(state, batch)
             it += 1
@@ -283,6 +297,22 @@ def train(cfg) -> dict:
                 row["lr"] = tv.lr_at(it - 1)
                 if validator is not None:
                     row.update(validator(state))
+                    if patience and "val_loss" in row:
+                        # val metrics are identical on every host (same
+                        # data, collective reductions), so this decision
+                        # is multi-host consistent without a broadcast
+                        if row["val_loss"] < best_val:
+                            best_val, stale = row["val_loss"], 0
+                        else:
+                            stale += 1
+                            if stale >= patience:
+                                early_stopped = True
+                                print(
+                                    f"early stop at iter {it}: val_loss "
+                                    f"has not improved for {stale} "
+                                    f"validations (best {best_val:.4f})",
+                                    flush=True,
+                                )
                 if reporter is not None:
                     reporter.report(it, epoch, row)
             # multi-host: only process 0 writes (state is replicated, and
