@@ -51,6 +51,7 @@ class Config:
     lr_schedule: str = "constant"  # constant | cosine | step
     lr_decay_steps: int = 0  # cosine horizon / step period (0 → iteration)
     lr_decay_rate: float = 0.5  # step decay factor
+    grad_clip: float = 0.0  # global-norm gradient clipping (0 = off)
     auto_resume: bool = False  # resume from latest weight_prefix ckpt
     max_to_keep: int = 0  # checkpoint retention; 0 = keep all
     augment: bool = False  # host-side train augmentation (z-rot/scale/jitter)
@@ -284,6 +285,9 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--lr_decay_steps", type=int, default=0,
                     help="cosine horizon / step period (0 = --iteration)")
     tr.add_argument("--lr_decay_rate", type=float, default=0.5)
+    tr.add_argument("--grad_clip", type=float, default=0.0,
+                    help="clip gradients to this global norm (0 = off) — "
+                    "guards against outlier-event gradient spikes")
     tr.add_argument("--auto_resume", action="store_true",
                     help="resume from the latest weight_prefix checkpoint "
                     "if one exists (preemption-friendly)")

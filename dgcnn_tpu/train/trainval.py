@@ -113,7 +113,11 @@ class Trainval:
             **extra_ops,
         )
         self._lr = _make_lr(cfg)
-        self.opt = _make_optimizer(getattr(cfg, "optimizer", "adam"), self._lr)
+        self.opt = _make_optimizer(
+            getattr(cfg, "optimizer", "adam"),
+            self._lr,
+            getattr(cfg, "grad_clip", 0.0),
+        )
         # reduce over both mesh axes (the points axis is a no-op under
         # pure DP where its size is 1)
         self._axes = (DATA_AXIS, POINT_AXIS)
@@ -374,17 +378,25 @@ def _make_lr(cfg):
     raise ValueError(f"unknown lr_schedule {kind!r}")
 
 
-def _make_optimizer(name: str, lr):
-    """Reference uses Adam [H per SURVEY.md §2 #4]; others for experiments."""
+def _make_optimizer(name: str, lr, grad_clip: float = 0.0):
+    """Reference uses Adam [H per SURVEY.md §2 #4]; others for experiments.
+
+    ``grad_clip > 0`` prepends global-norm clipping — outlier events
+    (huge energy depositions) can spike per-batch gradients in physics
+    data, and clipping is the standard guard."""
     if name == "adam":
-        return optax.adam(lr)
-    if name == "adamw":
-        return optax.adamw(lr)
-    if name == "sgd":
-        return optax.sgd(lr)
-    if name == "momentum":
-        return optax.sgd(lr, momentum=0.9)
-    raise ValueError(f"unknown optimizer {name!r}")
+        opt = optax.adam(lr)
+    elif name == "adamw":
+        opt = optax.adamw(lr)
+    elif name == "sgd":
+        opt = optax.sgd(lr)
+    elif name == "momentum":
+        opt = optax.sgd(lr, momentum=0.9)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    if grad_clip and grad_clip > 0:
+        opt = optax.chain(optax.clip_by_global_norm(grad_clip), opt)
+    return opt
 
 
 def _maybe_pallas_knn(knn_precision: str = "highest"):

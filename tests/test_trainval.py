@@ -114,3 +114,40 @@ def test_batch_not_divisible_raises():
     cfg = Config(minibatch_size=3, **SMALL)
     with pytest.raises(ValueError, match="not divisible"):
         Trainval(cfg, mesh=make_mesh(8))
+
+
+def test_grad_clip_bounds_update_norm():
+    """--grad_clip must bound the parameter update: with SGD the update
+    norm equals lr * clipped-grad norm, so a tiny clip threshold makes
+    the update tiny regardless of the (huge) raw gradient."""
+    import dataclasses
+
+    base = Config(
+        num_class=2, kvalue=6, edge_filters=(8,), head_feat_dim=16,
+        head_mlp=(16,), minibatch_size=1, num_point=96, use_pallas=False,
+        optimizer="sgd", learning_rate=1.0, num_devices=1,
+    )
+    io = SyntheticIO(num_events=1, num_point=96, seed=0).initialize()
+    batch = next(BucketBatcher(io, 1, num_point=96, shuffle=False).epoch())
+    # scale the points to force large gradients
+    big = batch.__class__(
+        points=batch.points * 100.0, labels=batch.labels,
+        weights=batch.weights, mask=batch.mask,
+        event_ids=batch.event_ids, lengths=batch.lengths,
+    )
+
+    def update_norm(cfg):
+        tv = Trainval(cfg, mesh=make_mesh(1))
+        s0 = tv.initialize(4)
+        # train_step donates its inputs — snapshot params first
+        before = [np.asarray(a) for a in jax.tree_util.tree_leaves(s0.params)]
+        s1, _ = tv.train_step(s0, big)
+        sq = 0.0
+        for a, b in zip(before, jax.tree_util.tree_leaves(s1.params)):
+            sq += float(np.sum((a - np.asarray(b)) ** 2))
+        return sq ** 0.5
+
+    clipped = update_norm(dataclasses.replace(base, grad_clip=1e-3))
+    free = update_norm(base)
+    assert clipped <= 1e-3 * 1.01, clipped  # = lr * clip threshold
+    assert free > 10 * clipped, (free, clipped)
