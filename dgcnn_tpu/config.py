@@ -183,6 +183,10 @@ class Config:
 
 
 def _add_common_flags(p: argparse.ArgumentParser):
+    p.add_argument("-c", "--config", default=None, metavar="FILE.json",
+                   help="load flag defaults from a JSON config (e.g. a "
+                   "checkpoint's embedded config or Config.to_json()); "
+                   "explicit CLI flags override")
     g = p.add_argument_group("model")
     g.add_argument("-mn", "--model_name", default="dgcnn",
                    help="dgcnn | residual-dgcnn (reference MODEL_NAME)")
@@ -265,7 +269,9 @@ def _add_common_flags(p: argparse.ArgumentParser):
                    "(trade FLOPs for HBM at large NUM_POINT)")
 
 
-def build_parser() -> argparse.ArgumentParser:
+def build_parser(defaults: dict | None = None) -> argparse.ArgumentParser:
+    """``defaults`` (from --config) override argument-level defaults on
+    every subcommand; explicit CLI flags still win over both."""
     p = argparse.ArgumentParser(
         prog="dgcnn_tpu",
         description="TPU-native dynamic graph CNN trainer for sparse 3D "
@@ -313,12 +319,41 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser(
         "info", help="print environment/runtime diagnostics and exit"
     )
+    if defaults:
+        for sp in (tr, inf, exp):
+            sp.set_defaults(**defaults)
     return p
 
 
 def parse_args(argv=None) -> Config:
-    ns = build_parser().parse_args(argv)
+    import sys as _sys
+
+    argv = list(_sys.argv[1:] if argv is None else argv)
+    # --config file.json provides DEFAULTS; explicit CLI flags override.
+    # A pre-parser extracts the path, the values are planted on the
+    # namespace before real parsing (argparse never clobbers attributes
+    # that already exist on a provided namespace with defaults).
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("-c", "--config", default=None)
+    pre_ns, rest = pre.parse_known_args(argv)
+    overrides = None
+    if pre_ns.config:
+        with open(pre_ns.config) as f:
+            loaded = json.load(f)
+        fields = {f_.name for f_ in dataclasses.fields(Config)}
+        unknown = sorted(set(loaded) - fields)
+        if unknown:
+            raise SystemExit(
+                f"--config {pre_ns.config}: unknown keys {unknown}"
+            )
+        overrides = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in loaded.items()
+            if k != "command"  # the subcommand comes from the CLI
+        }
+    ns = build_parser(overrides).parse_args(rest)
     d = vars(ns)
+    d.pop("config", None)
     if d.get("edge_filters") is None:
         d["edge_filters"] = None
     return Config.from_dict(d)

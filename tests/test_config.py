@@ -51,3 +51,41 @@ def test_info_subcommand(capsys):
     out = capsys.readouterr().out
     assert "dgcnn_tpu" in out and "jax" in out
     assert "backend" in out and "native IO" in out
+
+
+def test_config_file_defaults_and_cli_override(tmp_path):
+    """--config file.json supplies defaults; explicit CLI flags win."""
+    import json
+
+    cfgfile = tmp_path / "run.json"
+    cfgfile.write_text(json.dumps({
+        "kvalue": 11, "minibatch_size": 16, "model_name": "residual-dgcnn",
+        "edge_filters": [32, 32, 32], "knn_every": 3,
+    }))
+    cfg = parse_args(["train", "-c", str(cfgfile), "-io", "synthetic",
+                      "-mb", "4"])
+    assert cfg.kvalue == 11                      # from file
+    assert cfg.model_name == "residual-dgcnn"    # from file
+    assert cfg.edge_filters == (32, 32, 32)      # list -> tuple
+    assert cfg.knn_every == 3
+    assert cfg.minibatch_size == 4               # CLI overrides file
+    assert cfg.io_type == "synthetic"
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"no_such_flag": 1}))
+    with pytest.raises(SystemExit, match="unknown keys"):
+        parse_args(["train", "-c", str(bad)])
+
+
+def test_config_file_roundtrip_from_checkpoint_config(tmp_path):
+    """A checkpoint's embedded config (Config.to_json) reloads as
+    --config — full-run reproducibility from the artifact alone."""
+    cfg0 = Config(
+        num_class=3, kvalue=9, edge_filters=(8, 8), minibatch_size=2,
+        io_type="synthetic", knn_every=2,
+    )
+    p = tmp_path / "saved.json"
+    p.write_text(cfg0.to_json())
+    cfg = parse_args(["train", "-c", str(p)])
+    assert cfg.kvalue == 9 and cfg.num_class == 3
+    assert cfg.edge_filters == (8, 8) and cfg.knn_every == 2
