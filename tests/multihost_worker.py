@@ -1,6 +1,11 @@
 """Worker process for the two-process multi-host tests (not a test file).
 
-Usage: python multihost_worker.py <pid> <nproc> <port> <workdir>
+Usage: python multihost_worker.py <pid> <nproc> <port> <workdir> [mode]
+
+``mode`` defaults to "all" (parts A+B). mode="stoptest" instead runs an
+effectively-unbounded train() so the parent can SIGTERM ONE process and
+assert the whole pair stops together (the per-iteration agreed-stop
+allgather) instead of the un-signaled process hanging in a collective.
 
 Configures a 4-CPU-device backend, joins a gloo-backed jax.distributed
 pair, then:
@@ -19,6 +24,7 @@ import sys
 pid, nproc, port, workdir = (
     int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
 )
+mode = sys.argv[5] if len(sys.argv) > 5 else "all"
 
 import jax
 
@@ -54,6 +60,18 @@ SMALL = dict(
 )
 
 out = {"pid": pid}
+
+if mode == "stoptest":
+    # ---- C: one SIGTERM must stop EVERY process at the same iteration
+    prefix = os.path.join(workdir, "w", "s")
+    cfg_stop = Config(
+        command="train", iteration=100000, report_step=2,
+        checkpoint_step=0, weight_prefix=prefix,
+        log_dir=os.path.join(workdir, f"log{pid}"), shuffle=False, **SMALL,
+    )
+    train(cfg_stop)
+    print("RESULT:" + json.dumps({"pid": pid, "stopped": True}), flush=True)
+    sys.exit(0)
 
 # ---- A: fixed-global-batch trainval invariance ---------------------------
 cfg = Config(command="train", iteration=3, **SMALL)

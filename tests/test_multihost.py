@@ -7,6 +7,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 import numpy as np
 import pytest
@@ -104,3 +105,54 @@ def test_multihost_train_loss_finite(two_proc_results):
     _, outs = two_proc_results
     assert np.isfinite(outs[0]["train_loss"])
     np.testing.assert_allclose(outs[0]["train_loss"], outs[1]["train_loss"], rtol=1e-6)
+
+
+def test_sigterm_on_one_host_stops_the_pair(tmp_path):
+    """Preemption signal lands on ONE process: the per-iteration
+    agreed-stop allgather must bring BOTH processes out of the loop (a
+    unilateral break would leave the other hanging in its next
+    collective until the test timeout)."""
+    import signal
+    import socket
+
+    with socket.socket() as _s:
+        _s.bind(("127.0.0.1", 0))
+        port = _s.getsockname()[1]
+    workdir = str(tmp_path)
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", WORKER, str(i), "2", str(port), workdir,
+             "stoptest"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    try:
+        # wait until the PAIR is demonstrably inside the train loop —
+        # report lines come from process 0 only (process 1 is silent by
+        # design), so watch proc 0 but signal proc 1
+        deadline = time.time() + 240
+        while True:
+            assert time.time() < deadline, "pair never reported iters"
+            line = procs[0].stdout.readline()
+            assert line != "" or procs[0].poll() is None, "worker 0 died"
+            if line.startswith("iter "):
+                break
+        procs[1].send_signal(signal.SIGTERM)
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=180)
+            outs.append(out)
+        assert procs[0].returncode == 0, outs[0][-800:]
+        assert procs[1].returncode == 0, outs[1][-800:]
+        # process 0 never saw a signal yet exited cleanly via agreement,
+        # saving the final checkpoint
+        assert "saved final checkpoint" in outs[0], outs[0][-800:]
+        assert '"stopped": true' in outs[0].lower(), outs[0][-300:]
+        assert '"stopped": true' in outs[1].lower(), outs[1][-300:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
