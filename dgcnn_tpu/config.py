@@ -151,6 +151,23 @@ class Config:
             raise ValueError("--early_stop_patience requires --val_file")
         if self.knn_every < 1:
             raise ValueError(f"knn_every must be >= 1, got {self.knn_every}")
+        enums = {
+            "precision": ("default", "highest", "bfloat16"),
+            "knn_precision": ("highest", "default"),
+            "io_type": ("h5", "npz", "csv", "dgb", "synthetic", "larcv"),
+            "lr_schedule": ("constant", "cosine", "step"),
+            "crop_mode": ("random", "stride"),
+            "optimizer": ("adam", "adamw", "sgd", "momentum"),
+        }
+        # argparse `choices` only guards CLI-supplied values; --config
+        # files and programmatic Configs land here instead (a typo like
+        # precision="bf16" would otherwise silently train in f32)
+        for field, allowed in enums.items():
+            if getattr(self, field) not in allowed:
+                raise ValueError(
+                    f"{field} must be one of {allowed}, "
+                    f"got {getattr(self, field)!r}"
+                )
         if self.ring_impl not in ("ppermute", "rdma"):
             raise ValueError(
                 f"ring_impl must be ppermute|rdma, got {self.ring_impl!r}"
@@ -330,26 +347,48 @@ def parse_args(argv=None) -> Config:
 
     argv = list(_sys.argv[1:] if argv is None else argv)
     # --config file.json provides DEFAULTS; explicit CLI flags override.
-    # A pre-parser extracts the path, the values are planted on the
-    # namespace before real parsing (argparse never clobbers attributes
-    # that already exist on a provided namespace with defaults).
-    pre = argparse.ArgumentParser(add_help=False)
-    pre.add_argument("-c", "--config", default=None)
-    pre_ns, rest = pre.parse_known_args(argv)
+    # The path is extracted by EXACT token scan, not a pre-parser:
+    # argparse's prefix/joined-short matching would otherwise eat the
+    # documented -cs (checkpoint_step) as "-c s" and abbreviations like
+    # --conf, breaking unrelated invocations.
+    config_path = None
+    rest = []
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if tok in ("-c", "--config"):
+            if i + 1 >= len(argv):
+                raise SystemExit(f"{tok} requires a file path")
+            config_path = argv[i + 1]
+            i += 2
+            continue
+        if tok.startswith("--config="):
+            config_path = tok.split("=", 1)[1]
+            i += 1
+            continue
+        rest.append(tok)
+        i += 1
     overrides = None
-    if pre_ns.config:
-        with open(pre_ns.config) as f:
+    if config_path:
+        with open(config_path) as f:
             loaded = json.load(f)
         fields = {f_.name for f_ in dataclasses.fields(Config)}
         unknown = sorted(set(loaded) - fields)
         if unknown:
             raise SystemExit(
-                f"--config {pre_ns.config}: unknown keys {unknown}"
+                f"--config {config_path}: unknown keys {unknown}"
             )
+        skip = {"command"}  # the subcommand comes from the CLI
+        requested = next((t for t in rest if not t.startswith("-")), None)
+        if requested != "train":
+            # `iteration` means train STEPS on train but MAX BATCHES
+            # (0 = whole file) on inference — a train config applied to
+            # inference would silently truncate the prediction file
+            skip.add("iteration")
         overrides = {
             k: tuple(v) if isinstance(v, list) else v
             for k, v in loaded.items()
-            if k != "command"  # the subcommand comes from the CLI
+            if k not in skip
         }
     ns = build_parser(overrides).parse_args(rest)
     d = vars(ns)

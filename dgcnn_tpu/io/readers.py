@@ -278,12 +278,16 @@ def reader_for(kind: str, path: str, data_key="data", label_key="label",
     return cls(path, data_key, label_key, weight_key)
 
 
-def kind_of_path(path: str) -> str:
-    """Reader kind by file extension (csv/npz/dgb; anything else → h5)."""
-    for ext in ("csv", "npz", "dgb"):
-        if path.endswith("." + ext):
-            return ext
-    return "h5"
+def kind_of_path(path: str, default: str = "h5") -> str:
+    """Reader kind by file extension; unknown extensions → ``default``."""
+    lowered = path.lower()
+    for ext, kind in (
+        (".csv", "csv"), (".npz", "npz"), (".dgb", "dgb"),
+        (".h5", "h5"), (".hdf5", "h5"),
+    ):
+        if lowered.endswith(ext):
+            return kind
+    return default
 
 
 def io_factory(cfg) -> IOBase:

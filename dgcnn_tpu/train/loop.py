@@ -90,14 +90,12 @@ def _make_validator(cfg, tv):
     # the validation file's FORMAT follows its own extension, not the
     # training io_type — `-io dgb -vf val.h5` is a perfectly reasonable
     # pairing and previously died with "not a DGB file"
-    ext_kind = {
-        ".csv": "csv", ".npz": "npz", ".dgb": "dgb",
-        ".h5": "h5", ".hdf5": "h5",
-    }.get(os.path.splitext(cfg.val_file)[1].lower())
+    from dgcnn_tpu.io.readers import kind_of_path
+
     val_cfg = dataclasses.replace(
         cfg,
         input_file=cfg.val_file,
-        io_type=ext_kind or cfg.io_type,
+        io_type=kind_of_path(cfg.val_file, default=cfg.io_type),
     )
     val_io = io_factory(val_cfg).initialize()
     val_batcher = BucketBatcher(
@@ -264,27 +262,29 @@ def train(cfg) -> dict:
     stopper = _GracefulStop().install()
     nproc = jax.process_count()
 
-    def agreed_stop() -> bool:
-        # multi-host: a signal lands on ONE process; if that host broke
-        # out unilaterally the others would hang in the next all-reduce.
-        # Agree on the flag every iteration (a 1-int DCN allgather —
-        # negligible next to a multi-host step) so all hosts stop at the
-        # same iteration or none do.
-        if nproc == 1:
-            return stopper.stop
-        from jax.experimental import multihost_utils
-
-        flags = multihost_utils.process_allgather(
-            np.int32(1 if stopper.stop else 0)
-        )
-        return bool(np.asarray(flags).any())
-
     patience = int(getattr(cfg, "early_stop_patience", 0) or 0)
     best_val, stale = float("inf"), 0
     early_stopped = False
+
+    def agreed_stop() -> bool:
+        # multi-host: a signal lands on ONE process (and an early-stop
+        # decision could in principle diverge); if any host broke out
+        # unilaterally the others would hang in the next all-reduce.
+        # Agree on ONE combined flag every iteration (a 1-int DCN
+        # allgather — negligible next to a multi-host step) so all hosts
+        # stop at the same iteration or none do.
+        if nproc == 1:
+            return stopper.stop or early_stopped
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.int32(1 if (stopper.stop or early_stopped) else 0)
+        )
+        return bool(np.asarray(flags).any())
+
     try:
         for batch in stream:
-            if it >= cfg.iteration or early_stopped or agreed_stop():
+            if it >= cfg.iteration or agreed_stop():
                 break
             state, metrics = tv.train_step(state, batch)
             it += 1

@@ -89,3 +89,37 @@ def test_config_file_roundtrip_from_checkpoint_config(tmp_path):
     cfg = parse_args(["train", "-c", str(p)])
     assert cfg.kvalue == 9 and cfg.num_class == 3
     assert cfg.edge_filters == (8, 8) and cfg.knn_every == 2
+
+
+def test_short_flags_unaffected_by_config_preparser():
+    """-cs (checkpoint_step) must not be eaten as '-c s' by the --config
+    token scan (argparse prefix matching broke this once)."""
+    cfg = parse_args(["train", "-cs", "500", "-io", "synthetic"])
+    assert cfg.checkpoint_step == 500
+
+
+def test_config_enum_values_validated(tmp_path):
+    """Values from --config bypass argparse choices; Config.validate must
+    catch enum typos (precision='bf16' would silently train in f32)."""
+    import dataclasses
+
+    cfg = Config(num_class=2, kvalue=4, edge_filters=(8,), minibatch_size=1,
+                 io_type="synthetic")
+    with pytest.raises(ValueError, match="precision must be one of"):
+        dataclasses.replace(cfg, precision="bf16").validate()
+    with pytest.raises(ValueError, match="lr_schedule must be one of"):
+        dataclasses.replace(cfg, lr_schedule="linear").validate()
+
+
+def test_train_config_iteration_not_applied_to_inference(tmp_path):
+    """`iteration` means train STEPS on train but MAX BATCHES on
+    inference — a train config file must not silently truncate an
+    inference run."""
+    import json
+
+    f = tmp_path / "train.json"
+    f.write_text(json.dumps({"iteration": 10000, "kvalue": 7}))
+    cfg = parse_args(["inference", "-c", str(f), "-io", "synthetic",
+                      "-mp", "x.ckpt"])
+    assert cfg.kvalue == 7            # model flags apply
+    assert cfg.iteration == 0         # train-only key skipped

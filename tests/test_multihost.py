@@ -132,14 +132,24 @@ def test_sigterm_on_one_host_stops_the_pair(tmp_path):
     try:
         # wait until the PAIR is demonstrably inside the train loop —
         # report lines come from process 0 only (process 1 is silent by
-        # design), so watch proc 0 but signal proc 1
-        deadline = time.time() + 240
-        while True:
-            assert time.time() < deadline, "pair never reported iters"
-            line = procs[0].stdout.readline()
-            assert line != "" or procs[0].poll() is None, "worker 0 died"
-            if line.startswith("iter "):
-                break
+        # design), so watch proc 0 but signal proc 1. The pipe is read
+        # from a helper thread: a bare readline() blocks forever if the
+        # worker goes silent, which would hang the suite instead of
+        # failing with a message.
+        import threading
+
+        in_loop = threading.Event()
+
+        def _watch():
+            for line in procs[0].stdout:
+                if line.startswith("iter "):
+                    in_loop.set()
+                    return
+
+        watcher = threading.Thread(target=_watch, daemon=True)
+        watcher.start()
+        assert in_loop.wait(timeout=240), "pair never reported iters"
+        watcher.join(timeout=5)
         procs[1].send_signal(signal.SIGTERM)
         outs = []
         for p in procs:
