@@ -52,6 +52,9 @@ class Config:
     lr_decay_steps: int = 0  # cosine horizon / step period (0 → iteration)
     lr_decay_rate: float = 0.5  # step decay factor
     grad_clip: float = 0.0  # global-norm gradient clipping (0 = off)
+    # per-class loss weight multipliers (len == num_class; composes with
+    # per-point weights from the event file); empty = uniform
+    class_weights: tuple = ()
     auto_resume: bool = False  # resume from latest weight_prefix ckpt
     max_to_keep: int = 0  # checkpoint retention; 0 = keep all
     augment: bool = False  # host-side train augmentation (z-rot/scale/jitter)
@@ -106,6 +109,7 @@ class Config:
             self.edge_filters = tuple(self.edge_filters)
             self.num_edge_conv = len(self.edge_filters)
         self.head_mlp = tuple(self.head_mlp)
+        self.class_weights = tuple(self.class_weights or ())
         self.buckets = tuple(sorted(self.buckets))
 
     def model_spec(self) -> ModelSpec:
@@ -145,6 +149,11 @@ class Config:
             raise ValueError(f"NUM_CLASS must be >= 2, got {self.num_class}")
         if self.point_shards < 1:
             raise ValueError("point_shards must be >= 1")
+        if self.class_weights and len(self.class_weights) != self.num_class:
+            raise ValueError(
+                f"--class_weights needs {self.num_class} values "
+                f"(one per class), got {len(self.class_weights)}"
+            )
         if self.early_stop_patience < 0:
             raise ValueError("early_stop_patience must be >= 0")
         if self.early_stop_patience and not self.val_file:
@@ -308,6 +317,9 @@ def build_parser(defaults: dict | None = None) -> argparse.ArgumentParser:
     tr.add_argument("--lr_decay_steps", type=int, default=0,
                     help="cosine horizon / step period (0 = --iteration)")
     tr.add_argument("--lr_decay_rate", type=float, default=0.5)
+    tr.add_argument("--class_weights", type=float, nargs="+", default=(),
+                    help="per-class loss weight multipliers (one per "
+                    "class; composes with per-point file weights)")
     tr.add_argument("--grad_clip", type=float, default=0.0,
                     help="clip gradients to this global norm (0 = off) — "
                     "guards against outlier-event gradient spikes")

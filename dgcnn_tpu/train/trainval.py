@@ -171,6 +171,7 @@ class Trainval:
         model, opt = self.model, self.opt
         axes = self._axes
         num_class = self.cfg.num_class
+        cls_w = _class_weights_of(self.cfg)
         # under context parallelism BN stats must always merge over the
         # points axis (a point shard is not a meaningful statistics unit);
         # the data axis merges only with sync-BN on
@@ -196,6 +197,10 @@ class Trainval:
                 logp = jax.nn.log_softmax(logits, axis=-1)
                 ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
                 w = weights * mask.astype(logits.dtype)
+                if cls_w is not None:
+                    # class-level weights (imbalanced shower/track data)
+                    # COMPOSE with the per-point weights from the file
+                    w = w * cls_w[labels]
                 # exact global weighted mean: device-count invariant
                 loss_sum = jax.lax.psum(-jnp.sum(ll * w), axes)
                 w_sum = jax.lax.psum(jnp.sum(w), axes)
@@ -376,6 +381,14 @@ def _make_lr(cfg):
             staircase=True,
         )
     raise ValueError(f"unknown lr_schedule {kind!r}")
+
+
+def _class_weights_of(cfg):
+    """(num_class,) f32 array from --class_weights, or None when unset."""
+    cw = getattr(cfg, "class_weights", None)
+    if not cw:
+        return None
+    return jnp.asarray(tuple(cw), jnp.float32)
 
 
 def _make_optimizer(name: str, lr, grad_clip: float = 0.0):
