@@ -27,11 +27,18 @@ def _batch(batch_size, num_point=256, seed=0):
     return next(BucketBatcher(io, batch_size, num_point=num_point, shuffle=False).epoch())
 
 
-@pytest.mark.parametrize("data,points", [(1, 8), (2, 4)])
-def test_cp_train_matches_single_device(data, points):
-    """(data × points) sharded training == unsharded training."""
-    cfg_cp = Config(minibatch_size=data, point_shards=points, **SMALL)
-    cfg_1 = Config(minibatch_size=data, **SMALL)
+@pytest.mark.parametrize(
+    "data,points,knn_every", [(1, 8, 1), (2, 4, 1), (2, 4, 2)]
+)
+def test_cp_train_matches_single_device(data, points, knn_every):
+    """(data × points) sharded training == unsharded training — including
+    graph reuse (knn_every>1), whose shared indices must flow through the
+    ring gather identically on both paths."""
+    cfg_cp = Config(
+        minibatch_size=data, point_shards=points, knn_every=knn_every,
+        **SMALL,
+    )
+    cfg_1 = Config(minibatch_size=data, knn_every=knn_every, **SMALL)
     tv_cp = Trainval(cfg_cp, mesh=make_mesh(data * points, num_point_shards=points))
     tv_1 = Trainval(cfg_1, mesh=make_mesh(1))
     batch = _batch(data)
