@@ -149,11 +149,21 @@ class Config:
             raise ValueError(f"NUM_CLASS must be >= 2, got {self.num_class}")
         if self.point_shards < 1:
             raise ValueError("point_shards must be >= 1")
-        if self.class_weights and len(self.class_weights) != self.num_class:
-            raise ValueError(
-                f"--class_weights needs {self.num_class} values "
-                f"(one per class), got {len(self.class_weights)}"
-            )
+        if self.class_weights:
+            if len(self.class_weights) != self.num_class:
+                raise ValueError(
+                    f"--class_weights needs {self.num_class} values "
+                    f"(one per class), got {len(self.class_weights)}"
+                )
+            for w in self.class_weights:
+                if not isinstance(w, (int, float)) or not (w > 0):
+                    # zero/negative weights make the weighted-mean
+                    # denominator collapse (loss/=max(w_sum,1e-9) then
+                    # explodes); strings from JSON die opaquely later
+                    raise ValueError(
+                        f"--class_weights must be positive numbers, "
+                        f"got {w!r}"
+                    )
         if self.early_stop_patience < 0:
             raise ValueError("early_stop_patience must be >= 0")
         if self.early_stop_patience and not self.val_file:
@@ -167,6 +177,7 @@ class Config:
             "lr_schedule": ("constant", "cosine", "step"),
             "crop_mode": ("random", "stride"),
             "optimizer": ("adam", "adamw", "sgd", "momentum"),
+            "ring_impl": ("ppermute", "rdma"),
         }
         # argparse `choices` only guards CLI-supplied values; --config
         # files and programmatic Configs land here instead (a typo like
@@ -177,10 +188,6 @@ class Config:
                     f"{field} must be one of {allowed}, "
                     f"got {getattr(self, field)!r}"
                 )
-        if self.ring_impl not in ("ppermute", "rdma"):
-            raise ValueError(
-                f"ring_impl must be ppermute|rdma, got {self.ring_impl!r}"
-            )
         if self.command == "inference" and not self.model_path:
             raise ValueError("inference requires --model_path")
         if self.command == "export":
@@ -392,10 +399,16 @@ def parse_args(argv=None) -> Config:
             )
         skip = {"command"}  # the subcommand comes from the CLI
         requested = next((t for t in rest if not t.startswith("-")), None)
-        if requested != "train":
+        if requested != "train" and "iteration" in loaded:
             # `iteration` means train STEPS on train but MAX BATCHES
             # (0 = whole file) on inference — a train config applied to
-            # inference would silently truncate the prediction file
+            # inference would silently truncate the prediction file.
+            # Skip it, but LOUDLY (the repo convention is no silent drops)
+            print(
+                f"--config: skipping train-only key 'iteration' for "
+                f"{requested} (pass -i explicitly to bound batches)",
+                flush=True,
+            )
             skip.add("iteration")
         overrides = {
             k: tuple(v) if isinstance(v, list) else v
@@ -404,7 +417,14 @@ def parse_args(argv=None) -> Config:
         }
     ns = build_parser(overrides).parse_args(rest)
     d = vars(ns)
-    d.pop("config", None)
+    if d.pop("config", None) is not None:
+        # the exact-token scan above is the only supported spelling; a
+        # joined -cFILE or abbreviated --conf reaching the real parser
+        # would otherwise be silently DISCARDED here
+        raise SystemExit(
+            "--config must be passed as '-c FILE', '--config FILE' or "
+            "'--config=FILE' (joined/abbreviated forms are not supported)"
+        )
     if d.get("edge_filters") is None:
         d["edge_filters"] = None
     return Config.from_dict(d)

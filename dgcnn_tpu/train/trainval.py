@@ -275,6 +275,7 @@ class Trainval:
         prediction collectives entirely."""
         model = self.model
         num_class = self.cfg.num_class
+        cls_w = _class_weights_of(self.cfg)
 
         axes = self._axes
 
@@ -284,6 +285,10 @@ class Trainval:
             logp = jax.nn.log_softmax(logits, axis=-1)
             ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
             w = weights * mask.astype(logits.dtype)
+            if cls_w is not None:
+                # same objective as training: val_loss drives early
+                # stopping, so it must watch the class-WEIGHTED loss
+                w = w * cls_w[labels]
             loss_sum = jax.lax.psum(-jnp.sum(ll * w), axes)
             w_sum = jax.lax.psum(jnp.sum(w), axes)
             cls = jnp.arange(num_class, dtype=jnp.int32)

@@ -123,3 +123,27 @@ def test_train_config_iteration_not_applied_to_inference(tmp_path):
                       "-mp", "x.ckpt"])
     assert cfg.kvalue == 7            # model flags apply
     assert cfg.iteration == 0         # train-only key skipped
+
+
+def test_config_joined_short_form_rejected(tmp_path):
+    """-cFILE / --conf abbreviations must error, not silently drop the
+    config (the token scan only understands the exact spellings)."""
+    import json
+
+    f = tmp_path / "c.json"
+    f.write_text(json.dumps({"kvalue": 9}))
+    with pytest.raises(SystemExit, match="must be passed"):
+        parse_args(["train", f"-c{f}", "-io", "synthetic"])
+
+
+def test_class_weights_values_validated():
+    import dataclasses
+
+    cfg = Config(num_class=2, kvalue=4, edge_filters=(8,), minibatch_size=1,
+                 io_type="synthetic")
+    with pytest.raises(ValueError, match="positive numbers"):
+        dataclasses.replace(cfg, class_weights=(1.0, -2.0)).validate()
+    with pytest.raises(ValueError, match="positive numbers"):
+        dataclasses.replace(cfg, class_weights=(0.0, 1.0)).validate()
+    with pytest.raises(ValueError, match="positive numbers"):
+        dataclasses.replace(cfg, class_weights=("1.0", "2.0")).validate()

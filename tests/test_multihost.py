@@ -148,7 +148,10 @@ def test_sigterm_on_one_host_stops_the_pair(tmp_path):
 
         watcher = threading.Thread(target=_watch, daemon=True)
         watcher.start()
-        assert in_loop.wait(timeout=240), "pair never reported iters"
+        deadline = time.time() + 240
+        while not in_loop.wait(timeout=2):
+            assert procs[0].poll() is None, "worker 0 died before the loop"
+            assert time.time() < deadline, "pair never reported iters"
         watcher.join(timeout=5)
         procs[1].send_signal(signal.SIGTERM)
         outs = []
