@@ -1,9 +1,11 @@
 """Mosaic compile check of ring_knn_rdma on the real TPU (1-device ring).
 
-A 1-device points mesh cannot exercise real ICI traffic, but it forces
-Mosaic to lower the ENTIRE kernel — merge loop, HBM scratch, dynamic
-tile DMA, RDMA descriptors, semaphores — which interpret mode never
-does. Output must match the single-device oracle.
+Uses as many devices as the host exposes (capped at 4): on the 1-chip
+dev environment this cannot exercise real ICI traffic, but it forces
+Mosaic to lower the ENTIRE kernel — merge loop, HBM workspace, dynamic
+narrow-tile DMA, RDMA descriptors, semaphores — which interpret mode
+never does; on a real slice (2+ chips) the same script exercises the
+inter-chip protocol for real. Output must match the global oracle.
 """
 import os
 import sys
@@ -25,7 +27,11 @@ x[:, 700] = x[:, 3]
 mask = np.ones((B, N), bool)
 mask[:, -99:] = False
 
-mesh = Mesh(np.array(jax.devices())[:1], ("points",))
+D = min(len(jax.devices()), 4)
+if N % D:
+    D = 1
+print(f"ring devices: {D}")
+mesh = Mesh(np.array(jax.devices())[:D], ("points",))
 f = shard_map(
     lambda xs, ms: ring_knn_rdma(xs, K, ms, axis_name="points", interpret=False),
     mesh=mesh,

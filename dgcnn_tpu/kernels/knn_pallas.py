@@ -136,7 +136,8 @@ def _vma(x):
         return frozenset()
 
 
-def build_augmented_operands(xq, xk, mask, *, block_q, block_t):
+def build_augmented_operands(xq, xk, mask, *, block_q, block_t,
+                             key_layout: str = "padded"):
     """The score-defining operand construction, in exactly ONE place.
 
     Shared by the single-device kernel and the RDMA ring kernel
@@ -144,6 +145,15 @@ def build_augmented_operands(xq, xk, mask, *, block_q, block_t):
     guarantee that switching ring implementations does not change the
     neighbor graph rests on their per-element score expressions being
     bitwise identical. Returns ``(qa, ka, cp, nq_pad, nk_pad)``.
+
+    ``key_layout="narrow_t"`` returns ``ka`` TRANSPOSED at its natural
+    c+2 channel width — shape (B, c+2, nk_pad), minor dim the 128-aligned
+    point axis (Mosaic's DMA slicing demands 128-aligned minor windows,
+    which rules out a (rows, c+2) layout). The ring kernel circulates
+    this form chip-to-chip, cutting ICI traffic ~128/(c+2) (≈21× at c=3)
+    vs shipping the lane-padded operand. ``qa`` stays lane-padded (it is
+    local); the kernel contracts over the first c+2 lanes only, and the
+    dropped lanes are exact zeros, so scores are bit-identical.
     """
     b, nq, c = xq.shape
     nk = xk.shape[1]
@@ -171,12 +181,23 @@ def build_augmented_operands(xq, xk, mask, *, block_q, block_t):
     pad_c = cp - qa.shape[-1]
     qa = jnp.pad(qa, ((0, 0), (0, nq_pad - nq), (0, pad_c)))
     ka = jnp.pad(
-        jnp.pad(ka, ((0, 0), (0, 0), (0, pad_c))),
+        jnp.pad(
+            ka,
+            ((0, 0), (0, 0), (0, pad_c if key_layout == "padded" else 0)),
+        ),
         ((0, 0), (0, nk_pad - nk), (0, 0)),
     )
     if nk_pad - nk:
         # padded key rows must never be selected: flag via the BIG channel
         ka = ka.at[:, nk:, c + 1].set(MASK_BIG)
+    if key_layout == "narrow_t":
+        # sublane tiling: DMA windows must be 8-aligned in the
+        # second-minor dim, so the channel width pads to the next
+        # multiple of 8 (exact zeros — still ~16× less ICI traffic than
+        # the 128-lane layout at LArTPC widths)
+        c2p = _round_up(ka.shape[-1], 8)
+        ka = jnp.pad(ka, ((0, 0), (0, 0), (0, c2p - ka.shape[-1])))
+        ka = jnp.swapaxes(ka, -1, -2)  # (B, c2p, nk_pad)
     return qa, ka, cp, nq_pad, nk_pad
 
 

@@ -8,11 +8,15 @@ async-collective scheduling chooses to. This module closes the gap the
 design doc left open ("Ring-kNN as a Pallas kernel with RDMA"): ONE
 Pallas kernel per device owns the whole ring —
 
-  * the circulating key block lives in an HBM scratch double buffer and
-    moves chip-to-chip with `pltpu.make_async_remote_copy` over ICI,
-    started *before* the local merge so the transfer hides behind
-    compute (the transfer is O(N_local·C) bytes vs O(N_local²·C/D) merge
-    FLOPs — it always fits in the shadow);
+  * the circulating key block lives in an HBM double buffer and moves
+    chip-to-chip with `pltpu.make_async_remote_copy` over ICI, started
+    *before* the local merge so the transfer hides behind compute. The
+    block travels TRANSPOSED at its 8-sublane-padded natural channel
+    width ((B, c2p, N_local) — Mosaic DMA windows must be 128-aligned in
+    the minor and 8-aligned in the second-minor dim), so the transfer
+    really is O(N_local·C) bytes (≈16× less ICI traffic at LArTPC widths
+    than shipping the 128-lane-padded operand) vs O(N_local²·C/D) merge
+    FLOPs;
   * key tiles stream HBM→VMEM through a second, local double buffer
     (`pltpu.make_async_copy`), the same pipeline shape as the
     single-device `knn_pallas` kernel;
@@ -68,14 +72,19 @@ _COLLECTIVE_ID = 0x1D  # shared by every invocation of this kernel
 def _ring_kernel(
     me_ref,      # (1, 1) SMEM — this device's index on the ring axis
     qa_ref,      # (1, QB, Cp) VMEM — this (b, q) query block (auto-fetched)
-    ka_ref,      # (B, Nlp, Cp) HBM — this device's augmented key block
+    ka_ref,      # (B, C2, Nlp) HBM — this device's augmented key block,
+                 #   TRANSPOSED at natural c+2 width: the minor dim is the
+                 #   128-aligned point axis (Mosaic DMA windows must be
+                 #   128-aligned in the minor dim, which a (rows, c+2)
+                 #   layout cannot satisfy), and the narrow form is what
+                 #   circulates over ICI (~21× less traffic at c=3)
     idx_ref,     # (1, k, QB) VMEM out
     val_ref,     # (1, k, QB) VMEM out
-    comm,        # (2, B, Nlp, Cp) HBM out (workspace) — circulating slots;
+    comm,        # (2, B, C2, Nlp) HBM out (workspace) — circulating slots;
                  #   an output, not scratch: Mosaic only allows VMEM/SMEM/
                  #   semaphore scratch, so the HBM double buffer rides the
                  #   output list and the wrapper discards it
-    tile,        # (2, T, Cp) VMEM scratch — local key-tile double buffer
+    tile,        # (2, C2, T) VMEM scratch — local key-tile double buffer
     topv_s,      # (B, k, Nqp) VMEM scratch — running top-k values
     topi_s,      # (B, k, Nqp) VMEM scratch — running top-k global indices
     tok_src,     # (1, 1) VMEM scratch — credit-token payload (content unused)
@@ -102,7 +111,8 @@ def _ring_kernel(
     me = me_ref[0, 0]
     nxt = jax.lax.rem(me + 1, n_steps)
     prv = jax.lax.rem(me + n_steps - 1, n_steps)
-    nlp = ka_ref.shape[1]
+    c2 = ka_ref.shape[1]  # natural augmented width (c+2), un-padded
+    nlp = ka_ref.shape[2]
     n_tiles = nlp // block_t
     qb = qa_ref.shape[1]
 
@@ -115,9 +125,13 @@ def _ring_kernel(
     def ring_id(i):
         return i if interpret else {axis_name: i}
 
-    def block_rdma(slot, dst):
+    def block_rdma(src_ref, dst):
+        # step 0 sends straight from ka_ref (no staging copy on the
+        # critical path); later steps forward the resident comm slot.
+        # ka_ref and each comm slot have identical (B, Nlp, C2) shapes,
+        # so wait_send/wait_recv byte accounting matches either way.
         return pltpu.make_async_remote_copy(
-            src_ref=comm.at[slot],
+            src_ref=src_ref,
             dst_ref=comm.at[dst],
             send_sem=send_sem,
             recv_sem=recv_sem,
@@ -156,10 +170,6 @@ def _ring_kernel(
                 bar, inc=1, device_id={axis_name: prv},
                 device_id_type=pltpu.DeviceIdType.MESH)
             pltpu.semaphore_wait(bar, 2)
-        # stage the resident block into slot 0 (uniform compute path)
-        cp = pltpu.make_async_copy(ka_ref, comm.at[0], copy_sem.at[0])
-        cp.start()
-        cp.wait()
 
     # --- kick off the block send for this ring step (overlaps the merge)
     @pl.when((s > 0) & (s < n_steps - 1) & (b == 0) & (q == 0))
@@ -169,9 +179,13 @@ def _ring_kernel(
         # granted after finishing with the slot this send overwrites.
         token_rdma().wait_recv()
 
-    @pl.when((b == 0) & (q == 0) & (s < n_steps - 1) & (n_steps > 1))
+    @pl.when((s == 0) & (b == 0) & (q == 0) & (n_steps > 1))
     def _():
-        block_rdma(slot, jax.lax.rem(s + 1, 2)).start()
+        block_rdma(ka_ref, 1).start()
+
+    @pl.when((s > 0) & (s < n_steps - 1) & (b == 0) & (q == 0))
+    def _():
+        block_rdma(comm.at[slot], jax.lax.rem(s + 1, 2)).start()
 
     # --- merge the resident block into the running top-k ---------------
     @pl.when(first_prog)
@@ -180,18 +194,34 @@ def _ring_kernel(
         topi_s[:] = jnp.zeros_like(topi_s)
 
     owner = jax.lax.rem(me - s + n_steps, n_steps)
-    qa = qa_ref[0]  # (QB, Cp)
+    # contract over the first c2 lanes only: the dropped lanes of the
+    # padded local operand are exact zeros, so scores are bit-identical
+    qa = qa_ref[0][:, :c2]  # (QB, c2) value-level slice
     cols = jax.lax.broadcasted_iota(jnp.int32, (qb, block_t), 1)
     kio = jax.lax.broadcasted_iota(jnp.int32, (k, qb), 0)
 
-    def tile_copy(kt, tslot):
+    def tile_copy(kt, tslot, src):
+        # (c2, T) window: the sliced minor dim is the point axis, offset
+        # and length both multiples of 128 — Mosaic-aligned by design
         return pltpu.make_async_copy(
-            comm.at[slot, b, pl.ds(kt * block_t, block_t), :],
+            src.at[b, :, pl.ds(kt * block_t, block_t)],
             tile.at[tslot],
             copy_sem.at[tslot],
         )
 
-    tile_copy(0, 0).start()
+    def start_tile(kt, tslot):
+        # the resident block is ka_ref on step 0 (never staged) and the
+        # comm slot afterwards; ref choice must be branch-level (refs
+        # cannot be selected by lax.cond)
+        @pl.when(s == 0)
+        def _():
+            tile_copy(kt, tslot, ka_ref).start()
+
+        @pl.when(s > 0)
+        def _():
+            tile_copy(kt, tslot, comm.at[slot]).start()
+
+    start_tile(0, 0)
 
     def merge_tile(kt, carry):
         topv, topi = carry
@@ -199,16 +229,18 @@ def _ring_kernel(
 
         @pl.when(kt + 1 < n_tiles)
         def _():
-            tile_copy(kt + 1, jax.lax.rem(kt + 1, 2)).start()
+            start_tile(kt + 1, jax.lax.rem(kt + 1, 2))
 
-        tile_copy(kt, tslot).wait()
+        # both possible sources have identical slice shapes, so this
+        # descriptor's byte count matches whichever copy was started
+        tile_copy(kt, tslot, comm.at[slot]).wait()
         scores = jax.lax.dot_general(
             qa,
             tile[tslot],
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision,
-        )  # (QB, T)
+        )  # (QB, c2) x (c2, T) -> (QB, T)
         base = owner * n_local + kt * block_t
 
         def pass_body(c):
@@ -266,8 +298,8 @@ def _ring_kernel(
     # --- close the ring step: grant credit, await the next block -------
     @pl.when(last_in_step & (s < n_steps - 1) & (n_steps > 1))
     def _():
-        rdma = block_rdma(slot, jax.lax.rem(s + 1, 2))
-        rdma.wait_send()  # our DMA read of comm[slot] is finished
+        rdma = block_rdma(comm.at[slot], jax.lax.rem(s + 1, 2))
+        rdma.wait_send()  # our DMA read of the outgoing block is finished
 
         @pl.when(s < n_steps - 2)
         def _():
@@ -304,7 +336,8 @@ def _ring_knn_call(
     # bit-identical expression is what makes the ring's global tie order
     # equal the single-device kernel's (and the oracle's)
     qa, ka, cp, nq_pad, nk_pad = build_augmented_operands(
-        x_shard, x_shard, mask_shard, block_q=block_q, block_t=block_t
+        x_shard, x_shard, mask_shard, block_q=block_q, block_t=block_t,
+        key_layout="narrow_t",  # (B, c+2, Nlp): what circulates over ICI
     )
 
     grid = (n_shards, b, nq_pad // block_q)
@@ -345,10 +378,12 @@ def _ring_knn_call(
         out_shape=[
             jax.ShapeDtypeStruct((b, k, nq_pad), jnp.int32, vma=_vma(qa)),
             jax.ShapeDtypeStruct((b, k, nq_pad), jnp.float32, vma=_vma(qa)),
-            jax.ShapeDtypeStruct((2, b, nk_pad, cp), jnp.float32, vma=_vma(qa)),
+            jax.ShapeDtypeStruct(
+                (2,) + ka.shape, jnp.float32, vma=_vma(qa)
+            ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, block_t, cp), jnp.float32),
+            pltpu.VMEM((2, ka.shape[1], block_t), jnp.float32),
             pltpu.VMEM((b, k, nq_pad), jnp.float32),
             pltpu.VMEM((b, k, nq_pad), jnp.int32),
             pltpu.VMEM((1, 1), jnp.int32),
