@@ -1,4 +1,4 @@
-"""Mosaic compile check of ring_knn_rdma on the real TPU (1-device ring).
+"""Mosaic compile check of ring_knn_rdma on the real TPU.
 
 Uses as many devices as the host exposes (capped at 4): on the 1-chip
 dev environment this cannot exercise real ICI traffic, but it forces
@@ -27,9 +27,7 @@ x[:, 700] = x[:, 3]
 mask = np.ones((B, N), bool)
 mask[:, -99:] = False
 
-D = min(len(jax.devices()), 4)
-if N % D:
-    D = 1
+D = next(d for d in (4, 3, 2, 1) if d <= len(jax.devices()) and N % d == 0)
 print(f"ring devices: {D}")
 mesh = Mesh(np.array(jax.devices())[:D], ("points",))
 f = shard_map(
@@ -53,4 +51,4 @@ oi = jnp.where(ovalid, oi, self_i).astype(jnp.int32)
 mm = int(jnp.sum(idx != oi)) + int(jnp.sum(valid != ovalid))
 print("mismatches:", mm, "/", idx.size)
 assert mm == 0
-print("OK: Mosaic-compiled ring kernel bit-exact (D=1) on TPU")
+print(f"OK: Mosaic-compiled ring kernel bit-exact (D={D}) on TPU")

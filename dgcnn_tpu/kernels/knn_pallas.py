@@ -150,10 +150,12 @@ def build_augmented_operands(xq, xk, mask, *, block_q, block_t,
     c+2 channel width — shape (B, c+2, nk_pad), minor dim the 128-aligned
     point axis (Mosaic's DMA slicing demands 128-aligned minor windows,
     which rules out a (rows, c+2) layout). The ring kernel circulates
-    this form chip-to-chip, cutting ICI traffic ~128/(c+2) (≈21× at c=3)
-    vs shipping the lane-padded operand. ``qa`` stays lane-padded (it is
-    local); the kernel contracts over the first c+2 lanes only, and the
-    dropped lanes are exact zeros, so scores are bit-identical.
+    this form chip-to-chip, cutting ICI traffic 128/roundup(c+2, 8)
+    (= 16× at LArTPC widths, where c+2 ≤ 8) vs shipping the lane-padded
+    operand. ``qa`` stays lane-padded (it is local); the kernel
+    contracts over the first roundup(c+2, 8) lanes only, and the lanes
+    beyond the raw c+2 are exact zeros in both operands, so scores are
+    bit-identical.
     """
     b, nq, c = xq.shape
     nk = xk.shape[1]

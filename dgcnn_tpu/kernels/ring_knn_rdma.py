@@ -14,9 +14,9 @@ Pallas kernel per device owns the whole ring —
     block travels TRANSPOSED at its 8-sublane-padded natural channel
     width ((B, c2p, N_local) — Mosaic DMA windows must be 128-aligned in
     the minor and 8-aligned in the second-minor dim), so the transfer
-    really is O(N_local·C) bytes (≈16× less ICI traffic at LArTPC widths
-    than shipping the 128-lane-padded operand) vs O(N_local²·C/D) merge
-    FLOPs;
+    really is O(N_local·C) bytes (128/8 = 16× less ICI traffic at LArTPC
+    widths, where c+2 ≤ 8, than shipping the 128-lane-padded operand) vs
+    O(N_local²·C/D) merge FLOPs;
   * key tiles stream HBM→VMEM through a second, local double buffer
     (`pltpu.make_async_copy`), the same pipeline shape as the
     single-device `knn_pallas` kernel;
@@ -111,7 +111,9 @@ def _ring_kernel(
     me = me_ref[0, 0]
     nxt = jax.lax.rem(me + 1, n_steps)
     prv = jax.lax.rem(me + n_steps - 1, n_steps)
-    c2 = ka_ref.shape[1]  # natural augmented width (c+2), un-padded
+    c2 = ka_ref.shape[1]  # 8-sublane-padded augmented width c2p (NOT the
+    #                        raw c+2: lanes [c+2, c2p) are exact zeros in
+    #                        BOTH operands — the contraction relies on it)
     nlp = ka_ref.shape[2]
     n_tiles = nlp // block_t
     qb = qa_ref.shape[1]
@@ -128,7 +130,7 @@ def _ring_kernel(
     def block_rdma(src_ref, dst):
         # step 0 sends straight from ka_ref (no staging copy on the
         # critical path); later steps forward the resident comm slot.
-        # ka_ref and each comm slot have identical (B, Nlp, C2) shapes,
+        # ka_ref and each comm slot have identical (B, C2, Nlp) shapes,
         # so wait_send/wait_recv byte accounting matches either way.
         return pltpu.make_async_remote_copy(
             src_ref=src_ref,
@@ -194,9 +196,10 @@ def _ring_kernel(
         topi_s[:] = jnp.zeros_like(topi_s)
 
     owner = jax.lax.rem(me - s + n_steps, n_steps)
-    # contract over the first c2 lanes only: the dropped lanes of the
-    # padded local operand are exact zeros, so scores are bit-identical
-    qa = qa_ref[0][:, :c2]  # (QB, c2) value-level slice
+    # contract over the first c2p lanes only: lanes beyond the raw c+2
+    # are exact zeros in both operands and the dropped lanes of the
+    # padded local operand are zeros too, so scores are bit-identical
+    qa = qa_ref[0][:, :c2]  # (QB, c2p) value-level slice
     cols = jax.lax.broadcasted_iota(jnp.int32, (qb, block_t), 1)
     kio = jax.lax.broadcasted_iota(jnp.int32, (k, qb), 0)
 
