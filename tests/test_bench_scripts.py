@@ -66,3 +66,36 @@ def test_convergence_run_smoke(monkeypatch):
         sys.path.remove(os.path.join(ROOT, "benchmarks"))
     assert 0.0 <= r["val_acc"] <= 1.0 and 0.0 <= r["val_miou"] <= 1.0
     assert r["final_loss"] > 0
+
+
+def test_bench_knn_smoke(monkeypatch, capsys):
+    monkeypatch.setenv("BENCH_N", "256")
+    monkeypatch.setenv("BENCH_C", "8")
+    monkeypatch.setenv("BENCH_K", "5")
+    monkeypatch.setenv("BENCH_FULL", "0")
+    sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
+    try:
+        import bench_knn
+
+        importlib.reload(bench_knn)
+        bench_knn.main()
+    finally:
+        sys.path.remove(os.path.join(ROOT, "benchmarks"))
+    out = capsys.readouterr().out
+    assert "ms" in out
+
+
+def test_bench_io_smoke(monkeypatch, capsys, tmp_path):
+    monkeypatch.setenv("BENCH_EVENTS", "16")
+    monkeypatch.setenv("BENCH_POINTS", "128")
+    monkeypatch.chdir(tmp_path)  # scripts write fixture files
+    sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
+    try:
+        import bench_io
+
+        importlib.reload(bench_io)
+        bench_io.main()
+    finally:
+        sys.path.remove(os.path.join(ROOT, "benchmarks"))
+    out = capsys.readouterr().out
+    assert "events/s" in out or "ev/s" in out or "s]" in out, out[-400:]
