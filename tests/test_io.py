@@ -170,3 +170,85 @@ def test_convert_any_to_any_roundtrip(tmp_path):
         np.testing.assert_allclose(a.points, b.points, rtol=1e-6)
         np.testing.assert_array_equal(a.labels, b.labels)
         np.testing.assert_allclose(a.weights, b.weights, rtol=1e-6)
+
+
+def _rss_mb():
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1024
+    return 0.0
+
+
+def test_segment_writer_flat_rss(tmp_path):
+    """VERDICT r2 #4: write-back far beyond any in-RAM budget must keep
+    host RSS flat (the old writer accumulated every event until
+    finalize). ~180 MB of predictions, RSS growth bounded well below
+    the payload size."""
+    rng = np.random.RandomState(0)
+    pts = rng.randn(4096, 4).astype(np.float32)
+    pred = rng.randint(0, 2, 4096).astype(np.int32)
+    sc = rng.rand(4096, 2).astype(np.float32)
+    path = str(tmp_path / "big.h5")
+    w = SegmentWriter(path)
+    base = _rss_mb()
+    n_events = 1600  # ~184 MB total payload
+    for e in range(n_events):
+        w.store_segment(e, pts, pred, sc)
+    grew_store = _rss_mb() - base
+    w.finalize()
+    grew_total = _rss_mb() - base
+    import os
+
+    assert os.path.getsize(path) > 150e6
+    assert grew_store < 60, f"store leaked {grew_store:.0f} MB into RSS"
+    assert grew_total < 90, f"finalize leaked {grew_total:.0f} MB into RSS"
+    import h5py
+
+    with h5py.File(path) as f:
+        assert f["data"].shape == (n_events * 4096, 4)
+        np.testing.assert_array_equal(f["event_ids"][:5], np.arange(5))
+
+
+def test_write_stream_matches_write_any(tmp_path):
+    """Streaming converter output is array-identical to the in-RAM path."""
+    from dgcnn_tpu.io.convert import write_any, write_stream
+    from dgcnn_tpu.io.dgb import DGBIO
+    from dgcnn_tpu.io.readers import H5IO, NPZIO
+
+    io = SyntheticIO(
+        num_events=7, num_point=60, seed=3, variable_length=True,
+        with_weights=True,
+    ).initialize()
+    events = [io.read_event(i) for i in range(7)]
+    readers = {"h5": H5IO, "npz": NPZIO, "dgb": DGBIO}
+    for ext, reader in readers.items():
+        a = str(tmp_path / f"a.{ext}")
+        b = str(tmp_path / f"b.{ext}")
+        write_any(a, events)
+        n, total = write_stream(b, iter(events))
+        assert (n, total) == (7, sum(len(e) for e in events))
+        ra, rb = reader(a).initialize(), reader(b).initialize()
+        assert ra.num_events() == rb.num_events() == 7
+        for i in range(7):
+            ea, eb = ra.read_event(i), rb.read_event(i)
+            np.testing.assert_array_equal(ea.points, eb.points)
+            np.testing.assert_array_equal(ea.labels, eb.labels)
+            np.testing.assert_array_equal(ea.weights, eb.weights)
+        ra.finalize(), rb.finalize()
+
+
+def test_write_stream_mixed_labels_dropped(tmp_path):
+    from dgcnn_tpu.io.convert import write_stream
+    from dgcnn_tpu.io.readers import Event, H5IO
+
+    evs = [
+        Event(0, np.zeros((4, 4), np.float32), np.zeros(4, np.int32), None),
+        Event(1, np.ones((3, 4), np.float32), None, None),
+    ]
+    path = str(tmp_path / "m.h5")
+    write_stream(path, iter(evs))
+    r = H5IO(path).initialize()
+    assert r.num_events() == 2
+    assert r.read_event(0).labels is None  # mixed -> dropped, like write_any
+    r.finalize()
