@@ -101,6 +101,14 @@ class Config:
     # (unrolled shard_map steps) or "rdma" (one fused Pallas kernel per
     # device, explicit inter-chip DMA overlapped with the merge)
     ring_impl: str = "ppermute"
+    # EdgeConv block implementation: "edge" (default) is the classic
+    # materializing form — XLA fuses it into one traversal and it
+    # measures fastest; "reduced" never materializes the (B,N,k,D) edge
+    # tensor (selection commutes with the monotone BN+relu chain;
+    # statistics factor over the edge sum — see
+    # ops.edge.edgeconv_block_reduced). Bitwise-identical predictions in
+    # eval mode; an implementation knob like use_pallas
+    block_impl: str = "edge"
 
     def __post_init__(self):
         if self.edge_filters is None:
@@ -128,6 +136,7 @@ class Config:
             ),
             remat=self.remat,
             knn_every=self.knn_every,
+            block_impl=self.block_impl,
         )
 
     def validate(self):
@@ -178,6 +187,7 @@ class Config:
             "crop_mode": ("random", "stride"),
             "optimizer": ("adam", "adamw", "sgd", "momentum"),
             "ring_impl": ("ppermute", "rdma"),
+            "block_impl": ("edge", "reduced", "fused"),
         }
         # argparse `choices` only guards CLI-supplied values; --config
         # files and programmatic Configs land here instead (a typo like
@@ -300,6 +310,13 @@ def _add_common_flags(p: argparse.ArgumentParser):
     g.add_argument("--remat", action="store_true",
                    help="recompute each EdgeConv block in backward "
                    "(trade FLOPs for HBM at large NUM_POINT)")
+    g.add_argument("--block_impl", default="edge",
+                   choices=["edge", "reduced", "fused"],
+                   help="EdgeConv block implementation: edge = classic "
+                   "materializing form; reduced = never materializes "
+                   "the (B,N,k,D) edge tensor (bitwise-identical eval "
+                   "predictions); fused = reduced forward + analytic "
+                   "custom VJP (one-scatter backward)")
 
 
 def build_parser(defaults: dict | None = None) -> argparse.ArgumentParser:

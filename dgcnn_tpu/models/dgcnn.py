@@ -34,7 +34,11 @@ from dgcnn_tpu.models.core import (
     dense_init,
     dropout,
 )
-from dgcnn_tpu.ops.edge import gather_neighbors
+from dgcnn_tpu.ops.edge import (
+    edgeconv_block_fused,
+    edgeconv_block_reduced,
+    gather_neighbors,
+)
 from dgcnn_tpu.ops.knn import knn_indices
 from dgcnn_tpu.ops.norm import batch_norm_apply
 
@@ -63,6 +67,19 @@ class ModelSpec:
     #                     an opt-in speed/quality knob, since the graph
     #                     build is the dominant cost at large N (see
     #                     BASELINE.md for the measured accuracy delta)
+    block_impl: str = "edge"  # EdgeConv block implementation:
+    #   "edge": the classic materializing form (gather + broadcast-add +
+    #     BN + relu + max) — XLA fuses it into one traversal.
+    #   "reduced": never materializes the (B,N,k,D) edge tensor —
+    #     selection commutes with the monotone BN+relu chain and the BN
+    #     statistics factor over the edge sum (ops.edge.
+    #     edgeconv_block_reduced). Bitwise identical to "edge" in eval
+    #     mode; training statistics differ only by f32 summation order.
+    #   "fused": "reduced" forward + analytic custom VJP — backward does
+    #     zero gathers and exactly one scatter-add (ops.edge.
+    #     edgeconv_block_fused). Falls back to "reduced" under context
+    #     parallelism (custom VJP is local-gather only).
+    #   An implementation knob like use_pallas, NOT model-defining.
 
     @property
     def num_edge_conv(self) -> int:
@@ -187,24 +204,58 @@ def make_model(
             wa, wb = w[:c], w[c:]
             p_feat = jnp.einsum("...nc,cd->...nd", x, wa - wb, precision=precision)
             q_feat = jnp.einsum("...nc,cd->...nd", x, wb, precision=precision)
-            h = p_feat[..., :, None, :] + _gather(q_feat, idx)  # (B,N,k,C_out)
+            if spec.block_impl == "fused" and gather_fn is None:
+                # "reduced" forward + analytic custom VJP: backward is one
+                # scatter-add, zero gathers (local gather only — with a
+                # gather_fn override we fall through to "reduced", whose
+                # AD handles ring gathers)
+                y, bn_s = edgeconv_block_fused(
+                    p_feat,
+                    q_feat,
+                    blk_p["bn"],
+                    blk_s,
+                    idx,
+                    edge_mask,
+                    train=train,
+                    momentum=spec.bn_momentum,
+                    axis_name=bn_axis,
+                )
+            elif spec.block_impl in ("reduced", "fused"):
+                # algebraically fused: the (B,N,k,C_out) edge tensor never
+                # exists — per-query gathered reductions replace the
+                # materialize+BN+relu+max chain (bitwise equal in eval
+                # mode; see ops.edge.edgeconv_block_reduced)
+                y, bn_s = edgeconv_block_reduced(
+                    p_feat,
+                    q_feat,
+                    blk_p["bn"],
+                    blk_s,
+                    idx,
+                    edge_mask,
+                    train=train,
+                    momentum=spec.bn_momentum,
+                    axis_name=bn_axis,
+                    gather_fn=_gather,
+                )
+            else:
+                h = p_feat[..., :, None, :] + _gather(q_feat, idx)  # (B,N,k,C_out)
 
-            bn_mask = None if edge_mask is None else edge_mask[..., None]
-            # post-BN chain (relu, max, residual add) stays f32: casting
-            # it to bf16 makes deep-stack gradients overflow (see
-            # ops.norm.batch_norm_apply); y is cast back at the block
-            # boundary so the next block's matmuls run in compute dtype
-            h, bn_s = batch_norm_apply(
-                {"scale": blk_p["bn"]["scale"], "bias": blk_p["bn"]["bias"]},
-                blk_s,
-                h,
-                bn_mask,
-                train=train,
-                momentum=spec.bn_momentum,
-                axis_name=bn_axis,
-                out_dtype=jnp.float32,
-            )
-            y = jnp.max(jax.nn.relu(h), axis=-2)  # aggregate over k
+                bn_mask = None if edge_mask is None else edge_mask[..., None]
+                # post-BN chain (relu, max, residual add) stays f32: casting
+                # it to bf16 makes deep-stack gradients overflow (see
+                # ops.norm.batch_norm_apply); y is cast back at the block
+                # boundary so the next block's matmuls run in compute dtype
+                h, bn_s = batch_norm_apply(
+                    {"scale": blk_p["bn"]["scale"], "bias": blk_p["bn"]["bias"]},
+                    blk_s,
+                    h,
+                    bn_mask,
+                    train=train,
+                    momentum=spec.bn_momentum,
+                    axis_name=bn_axis,
+                    out_dtype=jnp.float32,
+                )
+                y = jnp.max(jax.nn.relu(h), axis=-2)  # aggregate over k
             if spec.residual:
                 shortcut = (
                     dense_apply(blk_p["proj"], x, precision=precision, dtype=cdtype)

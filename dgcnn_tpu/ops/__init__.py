@@ -5,7 +5,12 @@ Counterpart of the reference's `dgcnn/ops.py` (`knn`, `edge_feature`,
 """
 
 from dgcnn_tpu.ops.knn import pairwise_sq_dists, knn_indices
-from dgcnn_tpu.ops.edge import gather_neighbors, edge_features, edge_preact_factorized
+from dgcnn_tpu.ops.edge import (
+    gather_neighbors,
+    edge_features,
+    edge_preact_factorized,
+    edgeconv_block_reduced,
+)
 from dgcnn_tpu.ops.norm import batch_norm_init, batch_norm_apply
 from dgcnn_tpu.ops.loss import (
     softmax_cross_entropy,
@@ -21,6 +26,7 @@ __all__ = [
     "gather_neighbors",
     "edge_features",
     "edge_preact_factorized",
+    "edgeconv_block_reduced",
     "batch_norm_init",
     "batch_norm_apply",
     "softmax_cross_entropy",

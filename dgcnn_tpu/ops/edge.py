@@ -23,8 +23,11 @@ fuses without materializing the ``(..., N, k, D)`` tensor in HBM.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def gather_neighbors(x: jax.Array, idx: jax.Array) -> jax.Array:
@@ -52,6 +55,340 @@ def edge_features(x: jax.Array, idx: jax.Array) -> jax.Array:
     xj = gather_neighbors(x, idx)
     xi = jnp.broadcast_to(x[..., :, None, :], xj.shape)
     return jnp.concatenate([xi, xj - xi], axis=-1)
+
+
+def edgeconv_block_reduced(
+    p: jax.Array,
+    q: jax.Array,
+    bn_params,
+    bn_state,
+    idx: jax.Array,
+    mask: jax.Array | None = None,
+    *,
+    train: bool,
+    momentum: float = 0.9,
+    eps: float = 1e-3,
+    axis_name: str | None = None,
+    gather_fn=None,
+):
+    """EdgeConv block ``max_k(relu(bn(P_i + Q_j)))`` without the edge tensor.
+
+    The classic formulation materializes ``h_ij = P_i + Q_j`` as an
+    ``(..., N, k, D)`` tensor, batch-normalizes it (a full two-pass
+    traversal in training: statistics, then normalize), applies relu and
+    max-reduces over k. This function exploits two algebraic identities to
+    never form ``h`` at all — the "fused into a single on-chip pass" of
+    the north star, discharged by restructuring instead of by kernel:
+
+    1. **Selection commutes with the monotone BN+relu chain.** Per channel
+       c, ``t ↦ relu((t − μ_c)·γ_c/σ_c + β_c)`` is monotone nondecreasing
+       when ``γ_c ≥ 0`` and nonincreasing when ``γ_c < 0`` (f32 rounding is
+       monotone, so this holds bitwise, not just mathematically). Hence::
+
+           max_j relu(bn(P_i + Q_j)) = relu(bn(P_i + M_i))
+           M_i[c] = max_j Q_j[c]  if γ_c ≥ 0  else  min_j Q_j[c]
+
+       and only the per-query neighbor max/min of Q — ``(..., N, D)``,
+       k× smaller — is ever needed.
+
+    2. **BN statistics factor over the edge sum.** With ``h_ij = P_i+Q_j``::
+
+           Σ_ij h_ij  = k·Σ_i P_i + Σ_i SQ_i
+           Σ_ij h_ij² = k·Σ_i P_i² + 2·Σ_i P_i·SQ_i + Σ_i SQ2_i
+
+       where ``SQ_i = Σ_{j∈nbr(i)} Q_j`` and ``SQ2_i = Σ_{j∈nbr(i)} Q_j²``
+       are per-query gathered sums. Statistics are exact (identical up to
+       f32 summation order — the same class of reassociation XLA already
+       applies between compilations).
+
+    The four gathered reductions (max, min, sum, sum-of-squares) read the
+    same ``(..., N, k, D)`` gather, which XLA fuses into the reductions —
+    the edge tensor exists only inside one fused loop, never in HBM.
+    Measured in the 4×4096 production regime this removes the dominant
+    block cost (see BASELINE.md). In eval mode the result is **bitwise
+    identical** to the materializing path (statistics come from state, and
+    the normalize chain applies the same f32 ops to the same winning
+    values), so this is an implementation knob, not a model change.
+
+    Reference behavior covered: `dgcnn/ops.py (edge_feature + conv2d +
+    batch_norm)` + max aggregation [M per SURVEY.md §0.6 steps 2–4].
+
+    Args:
+      p: ``(..., N, D)`` query-side pre-activation ``x @ (Wa − Wb)``.
+      q: ``(..., N, D)`` neighbor-side pre-activation ``x @ Wb``.
+      bn_params: ``{"scale": (D,), "bias": (D,)}``.
+      bn_state: ``{"mean": (D,), "var": (D,)}`` running statistics.
+      idx: ``(..., N, k)`` neighbor indices.
+      mask: optional ``(..., N)`` bool query validity; invalid rows are
+        excluded from batch statistics (their outputs are still produced).
+      train: True → masked batch statistics + running-average update;
+        False → running statistics (reference inference mode).
+      axis_name: mesh axis for cross-replica statistic psums (sync BN /
+        context parallelism), as in `ops.norm.batch_norm_apply`.
+      gather_fn: neighbor gather override (`ring_gather` under CP).
+
+    Returns:
+      ``(y, new_bn_state)`` with ``y`` float32 ``(..., N, D)``.
+    """
+    gather = gather_fn or gather_neighbors
+    gamma = bn_params["scale"].astype(jnp.float32)
+    beta = bn_params["bias"].astype(jnp.float32)
+    p = p.astype(jnp.float32)
+    g = gather(q.astype(jnp.float32), idx)  # (..., N, k, D), fused below
+    k = idx.shape[-1]
+    mx = jnp.max(g, axis=-2)
+    mn = jnp.min(g, axis=-2)
+    if train:
+        sq = jnp.sum(g, axis=-2)
+        sq2 = jnp.sum(jnp.square(g), axis=-2)
+        axes = tuple(range(p.ndim - 1))
+        kf = jnp.float32(k)
+        if mask is None:
+            nvalid = float(np.prod(p.shape[:-1]))
+            count = jnp.full((p.shape[-1],), k * nvalid, jnp.float32)
+            s1 = kf * jnp.sum(p, axis=axes) + jnp.sum(sq, axis=axes)
+            s2 = (
+                kf * jnp.sum(jnp.square(p), axis=axes)
+                + 2.0 * jnp.sum(p * sq, axis=axes)
+                + jnp.sum(sq2, axis=axes)
+            )
+        else:
+            w = mask[..., None].astype(jnp.float32)
+            count = jnp.broadcast_to(kf * jnp.sum(w), (p.shape[-1],))
+            s1 = kf * jnp.sum(p * w, axis=axes) + jnp.sum(sq * w, axis=axes)
+            s2 = (
+                kf * jnp.sum(jnp.square(p) * w, axis=axes)
+                + 2.0 * jnp.sum(p * sq * w, axis=axes)
+                + jnp.sum(sq2 * w, axis=axes)
+            )
+        if axis_name is not None:
+            count = jax.lax.psum(count, axis_name)
+            s1 = jax.lax.psum(s1, axis_name)
+            s2 = jax.lax.psum(s2, axis_name)
+        denom = jnp.maximum(count, 1.0)
+        mean = s1 / denom
+        var = jnp.maximum(s2 / denom - jnp.square(mean), 0.0)
+        # all-masked batch: leave running statistics untouched (see
+        # ops.norm.batch_norm_apply for the rationale)
+        has_data = count > 0
+        new_state = {
+            "mean": jnp.where(
+                has_data,
+                momentum * bn_state["mean"] + (1.0 - momentum) * mean,
+                bn_state["mean"],
+            ),
+            "var": jnp.where(
+                has_data,
+                momentum * bn_state["var"] + (1.0 - momentum) * var,
+                bn_state["var"],
+            ),
+        }
+    else:
+        mean, var = bn_state["mean"], bn_state["var"]
+        new_state = bn_state
+    m = jnp.where(gamma >= 0, mx, mn)
+    # the exact normalize chain of ops.norm.batch_norm_apply, applied to
+    # the winning h value — bitwise equal to normalize-then-max
+    y = jax.nn.relu(
+        (p + m - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    )
+    return y, new_state
+
+
+def _scatter_rows(updates, idx, n: int):
+    """Transpose of `gather_neighbors`: row ``updates[..., i, s, :]`` is
+    added into row ``idx[..., i, s]`` of a zeros ``(..., n, C)`` result.
+
+    Written as an explicit batched scatter-add (the same XLA op the
+    gather's AD would emit). NOT via `jax.linear_transpose` — transposing
+    a closure inside a custom-VJP bwd miscomputes cotangent varying-mesh-
+    axes under shard_map (observed: silently wrong gradients on a CPU
+    mesh; a standalone repro raises a vma type mismatch)."""
+    lead = updates.shape[:-3]
+    nk = updates.shape[-3] * updates.shape[-2]
+    c = updates.shape[-1]
+    bl = int(np.prod(lead)) if lead else 1
+    u = updates.reshape(bl, nk, c)
+    fi = idx.reshape(bl, nk)
+    out = (
+        jnp.zeros((bl, n, c), updates.dtype)
+        .at[jnp.arange(bl)[:, None], fi]
+        .add(u, mode="promise_in_bounds")
+    )
+    return out.reshape(*lead, n, c)
+
+
+@jax.custom_vjp
+def gathered_stats(p: jax.Array, q: jax.Array, idx: jax.Array, w):
+    """EdgeConv reduction core with a one-scatter custom VJP.
+
+    One fused gather traversal of ``g = q[idx]`` producing everything the
+    restructured EdgeConv block (`edgeconv_block_fused`) needs:
+
+      mx, mn : (..., N, C) per-query neighbor max / min of q
+      s1p    : (C,) Σ_i w_i·Σ_s q_js            (edge sum of q)
+      s2a    : (C,) Σ_i w_i·Σ_s q_js²           (edge sum of q²)
+      s2b    : (C,) Σ_i w_i·p_i·Σ_s q_js        (p-weighted edge sum)
+
+    ``w`` is the (..., N) f32 query-validity weight (or None). The BN
+    batch statistics assemble from these OUTSIDE this function (including
+    any cross-device psums — kept outside so shard_map's replication
+    inference sees them), and the ``(..., N, k, C)`` edge tensor exists
+    only inside the fused forward loop.
+
+    Backward (the point of this primitive): AD of max-of-gather re-runs
+    the gather to rebuild the winner mask, then scatter-adds a full
+    edge-tensor cotangent per reduction. Here the winning slots are saved
+    as argmax/argmin indices in forward, the per-edge cotangent is built
+    elementwise (winner one-hots + broadcast statistic terms — their
+    cotangents are per-channel scalars), and everything collapses into
+    exactly ONE scatter-add of C+1 channels (the extra channel carries
+    the masked in-degree, which routes the destination-side ``2·q·ds2a``
+    term). Zero gathers in backward.
+
+    Convention: max/min ties route the full cotangent to the first
+    winning slot, where AD splits it evenly — totals agree whenever tied
+    slots reference the same point (e.g. masked queries degraded to
+    self-edges), and elsewhere both are valid subgradients.
+
+    Reference behavior covered: the gather + max-aggregation core of
+    SURVEY.md §0.6 steps 2-4, per §3.3's "fuse gather+edge-build+MLP+max
+    into a second on-chip pass" (discharged by restructuring: this fused
+    traversal + the BN-commutation algebra of `edgeconv_block_reduced`).
+    """
+    return _gathered_stats_fwd(p, q, idx, w)[0]
+
+
+def _gathered_stats_fwd(p, q, idx, w):
+    g = gather_neighbors(q, idx)  # fused into the reductions below
+    mx = jnp.max(g, axis=-2)
+    ax = jnp.argmax(g, axis=-2).astype(jnp.int32)
+    mn = jnp.min(g, axis=-2)
+    an = jnp.argmin(g, axis=-2).astype(jnp.int32)
+    sq = jnp.sum(g, axis=-2)
+    sq2 = jnp.sum(jnp.square(g), axis=-2)
+    axes = tuple(range(p.ndim - 1))
+    if w is None:
+        s1p = jnp.sum(sq, axis=axes)
+        s2a = jnp.sum(sq2, axis=axes)
+        s2b = jnp.sum(p * sq, axis=axes)
+    else:
+        wc = w[..., None]
+        s1p = jnp.sum(sq * wc, axis=axes)
+        s2a = jnp.sum(sq2 * wc, axis=axes)
+        s2b = jnp.sum(p * sq * wc, axis=axes)
+    return (mx, mn, s1p, s2a, s2b), (p, q, idx, w, ax, an, sq)
+
+
+def _gathered_stats_bwd(res, cot):
+    p, q, idx, w, ax, an, sq = res
+    dmx, dmn, ds1p, ds2a, ds2b = cot
+    c = q.shape[-1]
+    n = q.shape[-2]
+    slot = jax.lax.broadcasted_iota(
+        jnp.int32, idx.shape + (c,), idx.ndim - 1
+    )
+    # winner one-hots + broadcast statistic terms, fused into the scatter
+    upd = jnp.where(slot == ax[..., None, :], dmx[..., None, :], 0.0)
+    upd = upd + jnp.where(slot == an[..., None, :], dmn[..., None, :], 0.0)
+    stat = ds1p + ds2b * p  # (..., N, C): per-edge stats cotangent
+    wrow = (
+        jnp.ones(p.shape[:-1], jnp.float32) if w is None else w
+    )[..., None, None]  # (..., N, 1, 1)
+    upd = upd + stat[..., None, :] * wrow
+    ones_ch = jnp.broadcast_to(wrow, idx.shape + (1,))
+    scat = _scatter_rows(jnp.concatenate([upd, ones_ch], axis=-1), idx, n)
+    # destination-side q² term: 2·q·ds2a, weighted by masked in-degree
+    dq = scat[..., :c] + 2.0 * q * ds2a * scat[..., c:]
+    dp = (ds2b * sq) * wrow[..., 0, :]
+    f0 = jax.dtypes.float0
+    return (
+        dp.astype(p.dtype),
+        dq.astype(q.dtype),
+        np.zeros(idx.shape, f0),
+        None if w is None else jnp.zeros_like(w),
+    )
+
+
+gathered_stats.defvjp(_gathered_stats_fwd, _gathered_stats_bwd)
+
+
+def edgeconv_block_fused(
+    p: jax.Array,
+    q: jax.Array,
+    bn_params,
+    bn_state,
+    idx: jax.Array,
+    mask: jax.Array | None = None,
+    *,
+    train: bool,
+    momentum: float = 0.9,
+    eps: float = 1e-3,
+    axis_name: str | None = None,
+):
+    """`edgeconv_block_reduced` with the `gathered_reduce` custom-VJP
+    core: identical forward semantics, and a backward that does zero
+    gathers and exactly one scatter-add. All BN/normalize math stays
+    outside the custom VJP as plain (..., N, C)-sized AD (so shard_map's
+    replication inference sees the statistic psums). Local-gather only —
+    context parallelism (a `gather_fn` override) uses the AD paths.
+
+    Returns ``(y float32, new_bn_state)``.
+    """
+    gamma = bn_params["scale"].astype(jnp.float32)
+    beta = bn_params["bias"].astype(jnp.float32)
+    p = p.astype(jnp.float32)
+    k = idx.shape[-1]
+    c = p.shape[-1]
+    w = None if mask is None else mask.astype(jnp.float32)
+    mx, mn, s1p, s2a, s2b = gathered_stats(p, q.astype(jnp.float32), idx, w)
+    if train:
+        axes = tuple(range(p.ndim - 1))
+        kf = jnp.float32(k)
+        if w is None:
+            nvalid = float(np.prod(p.shape[:-1]))
+            count = jnp.full((c,), k * nvalid, jnp.float32)
+            s1 = kf * jnp.sum(p, axis=axes) + s1p
+            s2 = (
+                kf * jnp.sum(jnp.square(p), axis=axes) + 2.0 * s2b + s2a
+            )
+        else:
+            wc = w[..., None]
+            count = jnp.broadcast_to(kf * jnp.sum(w), (c,))
+            s1 = kf * jnp.sum(p * wc, axis=axes) + s1p
+            s2 = (
+                kf * jnp.sum(jnp.square(p) * wc, axis=axes)
+                + 2.0 * s2b
+                + s2a
+            )
+        if axis_name is not None:
+            count = jax.lax.psum(count, axis_name)
+            s1 = jax.lax.psum(s1, axis_name)
+            s2 = jax.lax.psum(s2, axis_name)
+        denom = jnp.maximum(count, 1.0)
+        mean = s1 / denom
+        var = jnp.maximum(s2 / denom - jnp.square(mean), 0.0)
+        has_data = count > 0
+        new_state = {
+            "mean": jnp.where(
+                has_data,
+                momentum * bn_state["mean"] + (1.0 - momentum) * mean,
+                bn_state["mean"],
+            ),
+            "var": jnp.where(
+                has_data,
+                momentum * bn_state["var"] + (1.0 - momentum) * var,
+                bn_state["var"],
+            ),
+        }
+    else:
+        mean, var = bn_state["mean"], bn_state["var"]
+        new_state = bn_state
+    m = jnp.where(gamma >= 0, mx, mn)
+    y = jax.nn.relu(
+        (p + m - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    )
+    return y, new_state
 
 
 def edge_preact_factorized(

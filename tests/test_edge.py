@@ -5,8 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from dgcnn_tpu.ops import (
+    batch_norm_apply,
     edge_features,
     edge_preact_factorized,
+    edgeconv_block_reduced,
     gather_neighbors,
     knn_indices,
 )
@@ -53,3 +55,210 @@ def test_factorized_preact_equals_naive_conv():
         precision=jax.lax.Precision.HIGHEST,
     )
     np.testing.assert_allclose(np.asarray(fact), np.asarray(naive), atol=2e-5)
+
+
+def _block_edge_reference(p, q, bnp, bn_state, idx, mask, train):
+    """The classic materializing block: gather + add + BN + relu + max."""
+    h = p[..., :, None, :] + gather_neighbors(q, idx)
+    bm = None if mask is None else mask[..., None]
+    hn, st = batch_norm_apply(
+        bnp, bn_state, h, bm, train=train, out_dtype=jnp.float32
+    )
+    return jnp.max(jax.nn.relu(hn), axis=-2), st
+
+
+def _block_fixture(seed=0, b=2, n=48, d=12, k=5):
+    rng = np.random.RandomState(seed)
+    feats = rng.randn(b, n, 6).astype(np.float32)
+    idx, _ = knn_indices(jnp.asarray(feats), k)
+    p = jnp.asarray(rng.randn(b, n, d).astype(np.float32))
+    q = jnp.asarray(rng.randn(b, n, d).astype(np.float32))
+    # mixed-sign gammas: the reduced path's max/min selection must route
+    # per channel by sign(gamma)
+    bnp = {
+        "scale": jnp.asarray(rng.randn(d).astype(np.float32)),
+        "bias": jnp.asarray(rng.randn(d).astype(np.float32)),
+    }
+    bn_state = {
+        "mean": jnp.asarray(rng.randn(d).astype(np.float32)),
+        "var": jnp.asarray((np.abs(rng.randn(d)) + 0.1).astype(np.float32)),
+    }
+    mask = jnp.asarray(rng.rand(b, n) > 0.3)
+    return p, q, bnp, bn_state, idx, mask
+
+
+def test_reduced_block_eval_is_bitwise_equal():
+    p, q, bnp, bn_state, idx, mask = _block_fixture()
+    for m in (None, mask):
+        y_ref, _ = _block_edge_reference(p, q, bnp, bn_state, idx, m, False)
+        y_new, st = edgeconv_block_reduced(
+            p, q, bnp, bn_state, idx, m, train=False
+        )
+        assert bool(jnp.all(y_new == y_ref)), "eval outputs must be bitwise equal"
+        assert st is bn_state
+
+
+def test_reduced_block_train_matches_to_reassociation():
+    p, q, bnp, bn_state, idx, mask = _block_fixture(seed=1)
+    for m in (None, mask):
+        y_ref, st_ref = _block_edge_reference(p, q, bnp, bn_state, idx, m, True)
+        y_new, st_new = edgeconv_block_reduced(
+            p, q, bnp, bn_state, idx, m, train=True
+        )
+        np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_ref), atol=1e-5)
+        for key in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(st_new[key]), np.asarray(st_ref[key]), atol=1e-6
+            )
+
+
+def test_reduced_block_gradients_match():
+    p, q, bnp, bn_state, idx, mask = _block_fixture(seed=2)
+
+    def loss_ref(p, q, scale, bias):
+        y, _ = _block_edge_reference(
+            p, q, {"scale": scale, "bias": bias}, bn_state, idx, mask, True
+        )
+        return jnp.mean(jnp.square(y))
+
+    def loss_new(p, q, scale, bias):
+        y, _ = edgeconv_block_reduced(
+            p, q, {"scale": scale, "bias": bias}, bn_state, idx, mask,
+            train=True,
+        )
+        return jnp.mean(jnp.square(y))
+
+    args = (p, q, bnp["scale"], bnp["bias"])
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    g_new = jax.grad(loss_new, argnums=(0, 1, 2, 3))(*args)
+    for a, b_ in zip(g_ref, g_new):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-6
+        )
+
+
+def test_reduced_block_all_masked_keeps_state():
+    p, q, bnp, bn_state, idx, _ = _block_fixture(seed=3)
+    none_valid = jnp.zeros(p.shape[:-1], bool)
+    _, st = edgeconv_block_reduced(
+        p, q, bnp, bn_state, idx, none_valid, train=True
+    )
+    for key in ("mean", "var"):
+        np.testing.assert_array_equal(np.asarray(st[key]), np.asarray(bn_state[key]))
+
+
+def test_model_block_impls_agree():
+    """Full flagship-shaped model: reduced vs edge logits agree (train to
+    reassociation tolerance, eval bitwise)."""
+    import dataclasses
+
+    from dgcnn_tpu.models import ModelSpec, get_model
+
+    rng = np.random.RandomState(7)
+    pts = jnp.asarray(rng.randn(2, 96, 4).astype(np.float32))
+    mask = jnp.asarray(rng.rand(2, 96) > 0.2)
+    spec_r = ModelSpec(
+        num_class=3, k=6, edge_filters=(16, 24), head_feat_dim=32,
+        head_mlp=(16,), residual=True, block_impl="reduced",
+    )
+    spec_e = dataclasses.replace(spec_r, block_impl="edge")
+    model_r = get_model("residual-dgcnn", spec_r)
+    model_e = get_model("residual-dgcnn", spec_e)
+    params, state = model_r.init(jax.random.PRNGKey(0), 4)
+
+    lt_r, st_r = model_r.apply(params, state, pts, mask, train=True)
+    lt_e, st_e = model_e.apply(params, state, pts, mask, train=True)
+    np.testing.assert_allclose(np.asarray(lt_r), np.asarray(lt_e), atol=2e-5)
+
+    le_r, _ = model_r.apply(params, st_e, pts, mask, train=False)
+    le_e, _ = model_e.apply(params, st_e, pts, mask, train=False)
+    assert bool(jnp.all(le_r == le_e)), "eval logits must be bitwise equal"
+
+
+def test_fused_block_matches_ad_reference():
+    """Custom-VJP block: outputs and all gradients match AD of the
+    materializing path (train + eval, masked + unmasked)."""
+    from dgcnn_tpu.ops.edge import edgeconv_block_fused
+
+    p, q, bnp, bn_state, idx, mask = _block_fixture(seed=5)
+    for train in (True, False):
+        for m in (None, mask):
+            y_ref, st_ref = _block_edge_reference(
+                p, q, bnp, bn_state, idx, m, train
+            )
+            y_new, st_new = edgeconv_block_fused(
+                p, q, bnp, bn_state, idx, m, train=train
+            )
+            np.testing.assert_allclose(
+                np.asarray(y_new), np.asarray(y_ref), atol=1e-5
+            )
+            for key in ("mean", "var"):
+                np.testing.assert_allclose(
+                    np.asarray(st_new[key]), np.asarray(st_ref[key]), atol=1e-6
+                )
+
+            def loss_ref(p, q, scale, bias):
+                y, _ = _block_edge_reference(
+                    p, q, {"scale": scale, "bias": bias}, bn_state, idx, m,
+                    train,
+                )
+                return jnp.mean(jnp.square(y))
+
+            def loss_new(p, q, scale, bias):
+                y, _ = edgeconv_block_fused(
+                    p, q, {"scale": scale, "bias": bias}, bn_state, idx, m,
+                    train=train,
+                )
+                return jnp.mean(jnp.square(y))
+
+            args = (p, q, bnp["scale"], bnp["bias"])
+            g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+            g_new = jax.grad(loss_new, argnums=(0, 1, 2, 3))(*args)
+            for a, b_ in zip(g_ref, g_new):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-6
+                )
+
+
+def test_model_fused_block_full_grads():
+    """Full model with block_impl=fused: loss gradients match the edge
+    path through the whole network (6 custom-VJP blocks chained)."""
+    import dataclasses
+
+    from dgcnn_tpu.models import ModelSpec, get_model
+
+    rng = np.random.RandomState(11)
+    pts = jnp.asarray(rng.randn(2, 96, 4).astype(np.float32))
+    mask = jnp.asarray(rng.rand(2, 96) > 0.2)
+    labels = jnp.asarray(rng.randint(0, 3, (2, 96)).astype(np.int32))
+    spec_f = ModelSpec(
+        num_class=3, k=6, edge_filters=(16, 24), head_feat_dim=32,
+        head_mlp=(16,), residual=True, block_impl="fused",
+    )
+    spec_e = dataclasses.replace(spec_f, block_impl="edge")
+    model_f = get_model("residual-dgcnn", spec_f)
+    model_e = get_model("residual-dgcnn", spec_e)
+    params, state = model_f.init(jax.random.PRNGKey(0), 4)
+
+    def make_loss(model):
+        def loss(params):
+            logits, _ = model.apply(params, state, pts, mask, train=True)
+            w = mask.astype(jnp.float32)
+            ll = jax.nn.log_softmax(logits)
+            nll = -jnp.take_along_axis(ll, labels[..., None], -1)[..., 0]
+            return jnp.sum(nll * w) / jnp.sum(w)
+
+        return loss
+
+    lf, gf = jax.value_and_grad(make_loss(model_f))(params)
+    le, ge = jax.value_and_grad(make_loss(model_e))(params)
+    np.testing.assert_allclose(float(lf), float(le), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(ge)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-6
+        )
+
+    # eval predictions bitwise
+    le_f, _ = model_f.apply(params, state, pts, mask, train=False)
+    le_e, _ = model_e.apply(params, state, pts, mask, train=False)
+    assert bool(jnp.all(le_f == le_e))

@@ -34,14 +34,20 @@ def _batches(n_batches, batch_size, num_point=256, seed=0):
     return out[:n_batches]
 
 
-def test_dp8_matches_dp1():
+@pytest.mark.parametrize("block_impl", ["edge", "fused"])
+def test_dp8_matches_dp1(block_impl):
     """Gradient psum over 8 shards must reproduce the single-device run.
 
     Uses SGD: Adam's first-step update is ±lr even for ulp-sized gradient
     components, which amplifies float reassociation noise into visible
     (but benign) divergence; SGD keeps the comparison at float tolerance.
+    Parametrized over the custom-VJP block too: its backward psums T1/T2
+    itself and must return LOCAL param-grad contributions for shard_map's
+    AD to psum — double-psum bugs show up here.
     """
-    cfg = Config(minibatch_size=8, optimizer="sgd", **SMALL)
+    cfg = Config(
+        minibatch_size=8, optimizer="sgd", block_impl=block_impl, **SMALL
+    )
     tv8 = Trainval(cfg, mesh=make_mesh(8))
     tv1 = Trainval(cfg, mesh=make_mesh(1))
     batches = _batches(3, 8)
