@@ -351,6 +351,14 @@ class Trainval:
             points, labels, weights, mask = batch
         if weights is None:
             weights = np.ones(labels.shape, np.float32)
+        if isinstance(points, jax.Array) and points.sharding.is_equivalent_to(
+            self._batch_sharding, points.ndim
+        ):
+            # caller already built correctly-sharded global arrays (e.g.
+            # the multi-host CP tests, whose cross-process point shards
+            # don't fit make_array_from_process_local_data's contiguous
+            # per-process-rows assumption)
+            return points, labels, weights, mask
         if jax.process_count() > 1:
             # each process holds its share of the global batch; assemble
             # global jax.Arrays across hosts (addressable shards only)

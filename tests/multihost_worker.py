@@ -73,6 +73,47 @@ if mode == "stoptest":
     print("RESULT:" + json.dumps({"pid": pid, "stopped": True}), flush=True)
     sys.exit(0)
 
+if mode == "cp":
+    # ---- D: context parallelism ACROSS the process boundary -------------
+    # (data=2, points=2) mesh whose points pairs interleave one device
+    # from each process, so the ring kNN / ring gather / BN-psum
+    # collectives cross hosts (VERDICT r2 #6). Global batches are built
+    # with make_array_from_callback: the cross-process point shards are
+    # not contiguous per-process rows, which is what
+    # make_array_from_process_local_data assumes.
+    from dgcnn_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices()  # ordered proc0:0-3, proc1:4-7
+    order = [devs[0], devs[4], devs[1], devs[5]]
+    mesh = make_mesh(4, num_point_shards=2, devices=order)
+    cfg_cp = Config(
+        command="train", iteration=3, point_shards=2,
+        **{**SMALL, "minibatch_size": 2},
+    )
+    tv = Trainval(cfg_cp, mesh=mesh)
+    state = tv.initialize(in_dim=4)
+    io = SyntheticIO(num_events=2, num_point=256, seed=3).initialize()
+    batch = next(BucketBatcher(io, 2, num_point=256, shuffle=False).epoch())
+
+    def put_global(x, dtype):
+        x = np.asarray(x, dtype)
+        return jax.make_array_from_callback(
+            x.shape, tv._batch_sharding, lambda i: x[i]
+        )
+
+    dev_batch = (
+        put_global(batch.points, np.float32),
+        put_global(batch.labels, np.int32),
+        put_global(np.ones(batch.labels.shape), np.float32),
+        put_global(batch.mask, bool),
+    )
+    losses = []
+    for _ in range(3):
+        state, metrics = tv.train_step(state, dev_batch)
+        losses.append(float(metrics["loss"]))
+    print("RESULT:" + json.dumps({"pid": pid, "losses": losses}), flush=True)
+    sys.exit(0)
+
 # ---- A: fixed-global-batch trainval invariance ---------------------------
 cfg = Config(command="train", iteration=3, **SMALL)
 io = SyntheticIO(num_events=8, num_point=256, seed=3).initialize()
