@@ -44,6 +44,9 @@ B = int(os.environ.get("BENCH_B", 4))
 C = int(os.environ.get("BENCH_C", 64))
 K = int(os.environ.get("BENCH_K", 20))
 ITERS = int(os.environ.get("BENCH_ITERS", 20))
+REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
+MICRO = os.environ.get("BENCH_MICRO", "1") == "1"  # per-component probes
+IMPLS = os.environ.get("BENCH_IMPLS", "edge,reduced,fused").split(",")
 
 
 def sync(x):
@@ -76,17 +79,21 @@ def main():
     }
     mask = jnp.ones((B, N), bool)
 
+    mb = B * N * K * C * 4 / 1e6
+    print(
+        f"regime: B={B} N={N} C={C} k={K}; edge tensor {mb:.0f} MB f32",
+        flush=True,
+    )
+    if not MICRO:
+        _train_steps(None)
+        return
+
     from dgcnn_tpu.kernels.knn_pallas import knn_pallas
 
     idx = jax.jit(lambda x: knn_pallas(x, K)[0])(feats)
     sync(idx)
     h_mat = jax.jit(lambda q, idx: gather_neighbors(q, idx))(q, idx)
     sync(h_mat)
-    mb = B * N * K * C * 4 / 1e6
-    print(
-        f"regime: B={B} N={N} C={C} k={K}; edge tensor {mb:.0f} MB f32",
-        flush=True,
-    )
 
     timeit("hbm copy h (read+write)", jax.jit(lambda h: h + 1.0), h_mat)
     timeit("gather (materialized out)", jax.jit(gather_neighbors), q, idx)
@@ -183,7 +190,11 @@ def main():
         p, q, gamma, beta, idx,
     )
 
-    # the full flagship train step, both block implementations
+    _train_steps(None)
+
+
+def _train_steps(_):
+    # the full flagship train step, per block implementation
     from dgcnn_tpu.config import Config
     from dgcnn_tpu.io import BucketBatcher, SyntheticIO
     from dgcnn_tpu.parallel.mesh import make_mesh
@@ -193,7 +204,7 @@ def main():
         num_events=B, num_point=N, seed=0, variable_length=False
     ).initialize()
     batch = next(BucketBatcher(io, B, num_point=N, shuffle=False).epoch())
-    for impl in ("edge", "reduced", "fused"):
+    for impl in IMPLS:
         cfg = Config(
             model_name="residual-dgcnn",
             num_class=2,
@@ -202,6 +213,7 @@ def main():
             minibatch_size=B,
             num_point=N,
             use_pallas=True,
+            remat=REMAT,
             block_impl=impl,
         )
         tv = Trainval(cfg, mesh=make_mesh(1))

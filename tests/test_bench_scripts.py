@@ -99,3 +99,28 @@ def test_bench_io_smoke(monkeypatch, capsys, tmp_path):
         sys.path.remove(os.path.join(ROOT, "benchmarks"))
     out = capsys.readouterr().out
     assert "events/s" in out or "ev/s" in out or "s]" in out, out[-400:]
+
+
+def test_tpu_gate_smoke(monkeypatch, capsys):
+    """tpu_gate.py must stay runnable (tiny CPU config); on hardware it
+    is the per-round bit-exactness/serving/convergence gate."""
+    monkeypatch.setenv("GATE_N", "384")
+    monkeypatch.setenv("GATE_RING_N", "256")
+    monkeypatch.setenv("GATE_CONV_STEPS", "8")
+    monkeypatch.setenv("GATE_CONV_N", "256")
+    sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
+    try:
+        import tpu_gate
+
+        importlib.reload(tpu_gate)
+        rc = tpu_gate.main()
+    finally:
+        sys.path.remove(os.path.join(ROOT, "benchmarks"))
+    out = capsys.readouterr().out
+    import json
+
+    line = json.loads(out.strip().splitlines()[-1])
+    assert line["knn_mismatches"] == 0
+    assert line["rdma_mismatches"] == 0
+    assert line["export_max_abs_diff"] == 0.0
+    assert rc == 0 and line["ok"], line
