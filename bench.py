@@ -29,9 +29,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # CPU stand-in for the reference TF-CPU baseline: jnp path, N=16384, B=1,
-# full train_step on this container's host CPU (2026-08-16): 1104 points/s.
-# Re-measure with BENCH_MEASURE_CPU=1 (takes ~2 min extra).
-CPU_BASELINE_PPS = 1104.0
+# full train_step on this container's host CPU. Re-measured 2026-08-17
+# (round 3, BENCH_MEASURE_CPU=1): 1319.5 points/s (was 1104 in round 1 —
+# host load dependent). Re-measure with BENCH_MEASURE_CPU=1 (~2 min).
+CPU_BASELINE_PPS = 1319.5
 
 N_POINTS = int(os.environ.get("BENCH_POINTS", 16384))
 BATCH = int(os.environ.get("BENCH_BATCH", 1))

@@ -134,7 +134,12 @@ def leg_rdma():
 
 
 def leg_export(tmpdir):
-    """Export -> deserialize -> serve must match live eval bitwise."""
+    """Export -> deserialize -> serve must match live eval inference.
+
+    HIGHEST matmul precision (the serving-parity configuration
+    tests/test_export.py pins at atol 1e-5): under DEFAULT precision the
+    live and deserialized executables can legitimately differ at ~1e-2
+    (different fusion -> different bf16 matmul roundings)."""
     import types
 
     from dgcnn_tpu.config import Config
@@ -145,15 +150,20 @@ def leg_export(tmpdir):
     cfg = Config(
         model_name="residual-dgcnn", num_class=2, kvalue=20,
         edge_filters=(64,) * 6, num_point=n, use_pallas=False,
+        precision="highest",
     )
-    model = get_model(cfg.model_name, cfg.model_spec())
+    model = get_model(
+        cfg.model_name, cfg.model_spec(), precision=jax.lax.Precision.HIGHEST
+    )
     params, mstate = model.init(jax.random.PRNGKey(7), 4)
     rng = np.random.default_rng(3)
     pts = jnp.asarray(rng.normal(size=(1, n, 4)).astype(np.float32))
     mask = jnp.asarray(rng.random((1, n)) > 0.1)
-    live = jax.nn.softmax(
-        model.apply(params, mstate, pts, mask, train=False)[0], axis=-1
-    )
+    live = jax.jit(
+        lambda p, s, x, m: jax.nn.softmax(
+            model.apply(p, s, x, m, train=False)[0], axis=-1
+        )
+    )(params, mstate, pts, mask)
     state = types.SimpleNamespace(params=params, model_state=mstate)
     blob = export_model(cfg, state, in_dim=4, batch=1)
     served = load_exported(blob)(pts, mask)
@@ -204,7 +214,7 @@ def main():
     out["ok"] = bool(
         out["knn_mismatches"] == 0
         and out["rdma_mismatches"] == 0
-        and out["export_max_abs_diff"] == 0.0
+        and out["export_max_abs_diff"] <= 1e-5
         and out["conv_loss_end"] < 0.7 * out["conv_loss_start"]
     )
     print(json.dumps(out), flush=True)

@@ -32,7 +32,17 @@ def export_model(cfg, state, in_dim: int = 4, batch: int = 1):
     if cfg.num_point <= 0:
         raise ValueError("export requires --num_point (static serving shape)")
     n = cfg.num_point
-    model = get_model(cfg.model_name, cfg.model_spec())
+    # the artifact must compute the same function the live trainer/server
+    # does: thread the matmul precision through (on TPU, omitting it
+    # bakes DEFAULT bf16 matmuls into a --precision highest serving
+    # config — ~1e-2 softmax drift vs live inference, caught by
+    # benchmarks/tpu_gate.py's export leg)
+    from dgcnn_tpu.train.trainval import _precision_of
+
+    model = get_model(
+        cfg.model_name, cfg.model_spec(),
+        precision=_precision_of(cfg.precision),
+    )
     params, mstate = state.params, state.model_state
 
     def serve(points, mask):
