@@ -93,12 +93,11 @@ def write_stream(path: str, events_iter):
                 f"inputs write NO {key} array",
                 flush=True,
             )
+    mm = {}
     try:
-        mm = {
-            "points": np.memmap(
-                f"{path}.tmp.points", np.float32, "r", shape=(total, width)
-            )
-        }
+        mm["points"] = np.memmap(
+            f"{path}.tmp.points", np.float32, "r", shape=(total, width)
+        )
         if all_l:
             mm["labels"] = np.memmap(
                 f"{path}.tmp.labels", np.int32, "r", shape=(total,)

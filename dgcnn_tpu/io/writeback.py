@@ -185,8 +185,8 @@ class SegmentWriter:
             specs.append(("scores", mm["scores"]))
 
         reorder_parts = []
+        arrays = {}
         try:
-            arrays = {}
             for name, src in specs:
                 if in_order:
                     arrays[name] = src
