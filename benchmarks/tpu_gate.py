@@ -77,11 +77,15 @@ def leg_knn():
 
 def _split_mismatches(x, idx_a, idx_b, val_a, val_b, rtol=1e-6):
     """(hard, near): disagreements whose f64 distances differ beyond /
-    within rtol — near-ties are legitimate 1-ulp expression skew."""
-    diff = np.argwhere(np.asarray(idx_a != idx_b) | np.asarray(val_a != val_b))
-    hard = near = 0
+    within rtol — near-ties are legitimate 1-ulp expression skew. Any
+    validity-flag disagreement is HARD regardless of distances (a slot
+    with equal indices but flipped valid would otherwise compare its
+    distance against itself and always pass as a near-tie)."""
+    va, vb = np.asarray(val_a), np.asarray(val_b)
     ia, ib = np.asarray(idx_a), np.asarray(idx_b)
-    for b, i, s in diff:
+    hard = int(np.sum(va != vb))
+    near = 0
+    for b, i, s in np.argwhere((ia != ib) & (va == vb)):
         xi = x[b, i].astype(np.float64)
         da = float(np.sum((xi - x[b, ia[b, i, s]].astype(np.float64)) ** 2))
         db = float(np.sum((xi - x[b, ib[b, i, s]].astype(np.float64)) ** 2))
@@ -130,7 +134,16 @@ def leg_rdma():
     )
     oi = jnp.where(ovalid, oi, self_i).astype(jnp.int32)
     hard, near = _split_mismatches(x, idx, oi, valid, ovalid)
-    return {"rdma_devices": d, "rdma_mismatches": hard, "rdma_near_ties": near}
+    return {
+        "rdma_devices": d,
+        # honesty flag: with d == 1 the kernel Mosaic-compiles and its
+        # merge/protocol run, but no remote DMA crosses ICI — a 1-chip
+        # host cannot certify the inter-chip path (multi-device coverage
+        # is interpret-mode via tests/test_ring_rdma.py)
+        "rdma_ici_exercised": d > 1,
+        "rdma_mismatches": hard,
+        "rdma_near_ties": near,
+    }
 
 
 def leg_export(tmpdir):

@@ -73,6 +73,17 @@ def write_stream(path: str, events_iter):
                     np.ascontiguousarray(ev.weights, np.float32).tobytes()
                 )
                 n_w += 1
+    except BaseException:
+        # a failed spool must not strand multi-GB .tmp.* files next to
+        # the intended output
+        for fh in tmp.values():
+            fh.close()
+        for name in tmp:
+            try:
+                os.unlink(f"{path}.tmp.{name}")
+            except FileNotFoundError:
+                pass
+        raise
     finally:
         for fh in tmp.values():
             fh.close()
@@ -108,7 +119,6 @@ def write_stream(path: str, events_iter):
             )
         if path.endswith(".dgb"):
             from dgcnn_tpu.io.dgb import _FLAG_LABELS, _FLAG_WEIGHTS, MAGIC
-            from dgcnn_tpu.io.stream import copy_chunked
 
             flags = (_FLAG_LABELS if all_l else 0) | (
                 _FLAG_WEIGHTS if all_w else 0

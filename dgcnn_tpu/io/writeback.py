@@ -106,6 +106,18 @@ class SegmentWriter:
     def _memmaps(self, total: int):
         for fh in self._tmp.values():
             fh.close()
+        if total == 0:
+            # every stored event was empty (real dumps contain empty
+            # detector events): numpy refuses to mmap zero-byte files,
+            # so serve zero-row arrays directly — the writers below
+            # still produce a structurally complete output
+            mm = {
+                "points": np.zeros((0, self._f), np.float32),
+                "pred": np.zeros((0,), np.int32),
+            }
+            if self._nscore > 0:
+                mm["scores"] = np.zeros((0, self._nscore), np.float32)
+            return mm
         mm = {
             "points": np.memmap(
                 self._tmp_path("points"), np.float32, "r", shape=(total, self._f)
@@ -138,14 +150,16 @@ class SegmentWriter:
         np.cumsum(nrows, out=starts[1:])
         total = int(starts[-1])
         order = np.argsort(ids, kind="stable")
-        mm = self._memmaps(total)
         try:
+            mm = self._memmaps(total)
             if self.format == "csv":
                 self._write_csv(ids, order, starts, nrows, mm)
             else:
                 self._write_offsets_layout(ids, order, starts, nrows, mm, total)
         finally:
-            del mm
+            # POSIX allows unlinking files that are still mmap-ed, so the
+            # cleanup needs no del-before-unlink dance (and mm may be
+            # unbound if _memmaps itself raised)
             self._cleanup()
 
     def _write_csv(self, ids, order, starts, nrows, mm):

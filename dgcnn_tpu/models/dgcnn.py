@@ -80,6 +80,12 @@ class ModelSpec:
     #     edgeconv_block_fused). Falls back to "reduced" under context
     #     parallelism (custom VJP is local-gather only).
     #   An implementation knob like use_pallas, NOT model-defining.
+    #   That non-model-defining contract rests on the bitwise-equal-eval
+    #   property, which only holds in f32: under compute_dtype=bfloat16
+    #   the edge path rounds each h_ij = p_i + q_j to bf16 BEFORE BN
+    #   (per-edge ~2^-8 rounding the factored statistics cannot
+    #   reproduce), so bfloat16 models always use the edge form and
+    #   block_impl is ignored (enforced in make_model).
 
     @property
     def num_edge_conv(self) -> int:
@@ -204,7 +210,16 @@ def make_model(
             wa, wb = w[:c], w[c:]
             p_feat = jnp.einsum("...nc,cd->...nd", x, wa - wb, precision=precision)
             q_feat = jnp.einsum("...nc,cd->...nd", x, wb, precision=precision)
-            if spec.block_impl == "fused" and gather_fn is None:
+            # the reduced/fused algebra computes in f32; with bf16
+            # compute the edge path's per-edge rounding cannot be
+            # reproduced, so bfloat16 models always use "edge" (keeps
+            # block_impl a non-model-defining knob — see ModelSpec)
+            use_restructured = cdtype == jnp.float32
+            if (
+                spec.block_impl == "fused"
+                and gather_fn is None
+                and use_restructured
+            ):
                 # "reduced" forward + analytic custom VJP: backward is one
                 # scatter-add, zero gathers (local gather only — with a
                 # gather_fn override we fall through to "reduced", whose
@@ -220,7 +235,7 @@ def make_model(
                     momentum=spec.bn_momentum,
                     axis_name=bn_axis,
                 )
-            elif spec.block_impl in ("reduced", "fused"):
+            elif spec.block_impl in ("reduced", "fused") and use_restructured:
                 # algebraically fused: the (B,N,k,C_out) edge tensor never
                 # exists — per-query gathered reductions replace the
                 # materialize+BN+relu+max chain (bitwise equal in eval

@@ -161,28 +161,11 @@ def edgeconv_block_reduced(
                 + 2.0 * jnp.sum(p * sq * w, axis=axes)
                 + jnp.sum(sq2 * w, axis=axes)
             )
-        if axis_name is not None:
-            count = jax.lax.psum(count, axis_name)
-            s1 = jax.lax.psum(s1, axis_name)
-            s2 = jax.lax.psum(s2, axis_name)
-        denom = jnp.maximum(count, 1.0)
-        mean = s1 / denom
-        var = jnp.maximum(s2 / denom - jnp.square(mean), 0.0)
-        # all-masked batch: leave running statistics untouched (see
-        # ops.norm.batch_norm_apply for the rationale)
-        has_data = count > 0
-        new_state = {
-            "mean": jnp.where(
-                has_data,
-                momentum * bn_state["mean"] + (1.0 - momentum) * mean,
-                bn_state["mean"],
-            ),
-            "var": jnp.where(
-                has_data,
-                momentum * bn_state["var"] + (1.0 - momentum) * var,
-                bn_state["var"],
-            ),
-        }
+        from dgcnn_tpu.ops.norm import finalize_batch_stats
+
+        mean, var, new_state = finalize_batch_stats(
+            count, s1, s2, bn_state, momentum=momentum, axis_name=axis_name
+        )
     else:
         mean, var = bn_state["mean"], bn_state["var"]
         new_state = bn_state
@@ -249,7 +232,9 @@ def gathered_stats(p: jax.Array, q: jax.Array, idx: jax.Array, w):
     Convention: max/min ties route the full cotangent to the first
     winning slot, where AD splits it evenly — totals agree whenever tied
     slots reference the same point (e.g. masked queries degraded to
-    self-edges), and elsewhere both are valid subgradients.
+    self-edges), and elsewhere both are valid subgradients. ``w`` is
+    treated as a NON-differentiable validity weight (its cotangent is
+    hard zero): callers pass a bool-mask cast, never learned weights.
 
     Reference behavior covered: the gather + max-aggregation core of
     SURVEY.md §0.6 steps 2-4, per §3.3's "fuse gather+edge-build+MLP+max
@@ -326,7 +311,7 @@ def edgeconv_block_fused(
     eps: float = 1e-3,
     axis_name: str | None = None,
 ):
-    """`edgeconv_block_reduced` with the `gathered_reduce` custom-VJP
+    """`edgeconv_block_reduced` with the `gathered_stats` custom-VJP
     core: identical forward semantics, and a backward that does zero
     gathers and exactly one scatter-add. All BN/normalize math stays
     outside the custom VJP as plain (..., N, C)-sized AD (so shard_map's
@@ -335,6 +320,14 @@ def edgeconv_block_fused(
 
     Returns ``(y float32, new_bn_state)``.
     """
+    if not train:
+        # eval needs only the neighbor max/min — the reduced path (same
+        # formulas bitwise, no statistic reductions, no backward to
+        # optimize) is strictly cheaper than running gathered_stats
+        return edgeconv_block_reduced(
+            p, q, bn_params, bn_state, idx, mask,
+            train=False, momentum=momentum, eps=eps, axis_name=axis_name,
+        )
     gamma = bn_params["scale"].astype(jnp.float32)
     beta = bn_params["bias"].astype(jnp.float32)
     p = p.astype(jnp.float32)
@@ -342,48 +335,25 @@ def edgeconv_block_fused(
     c = p.shape[-1]
     w = None if mask is None else mask.astype(jnp.float32)
     mx, mn, s1p, s2a, s2b = gathered_stats(p, q.astype(jnp.float32), idx, w)
-    if train:
-        axes = tuple(range(p.ndim - 1))
-        kf = jnp.float32(k)
-        if w is None:
-            nvalid = float(np.prod(p.shape[:-1]))
-            count = jnp.full((c,), k * nvalid, jnp.float32)
-            s1 = kf * jnp.sum(p, axis=axes) + s1p
-            s2 = (
-                kf * jnp.sum(jnp.square(p), axis=axes) + 2.0 * s2b + s2a
-            )
-        else:
-            wc = w[..., None]
-            count = jnp.broadcast_to(kf * jnp.sum(w), (c,))
-            s1 = kf * jnp.sum(p * wc, axis=axes) + s1p
-            s2 = (
-                kf * jnp.sum(jnp.square(p) * wc, axis=axes)
-                + 2.0 * s2b
-                + s2a
-            )
-        if axis_name is not None:
-            count = jax.lax.psum(count, axis_name)
-            s1 = jax.lax.psum(s1, axis_name)
-            s2 = jax.lax.psum(s2, axis_name)
-        denom = jnp.maximum(count, 1.0)
-        mean = s1 / denom
-        var = jnp.maximum(s2 / denom - jnp.square(mean), 0.0)
-        has_data = count > 0
-        new_state = {
-            "mean": jnp.where(
-                has_data,
-                momentum * bn_state["mean"] + (1.0 - momentum) * mean,
-                bn_state["mean"],
-            ),
-            "var": jnp.where(
-                has_data,
-                momentum * bn_state["var"] + (1.0 - momentum) * var,
-                bn_state["var"],
-            ),
-        }
+    axes = tuple(range(p.ndim - 1))
+    kf = jnp.float32(k)
+    if w is None:
+        nvalid = float(np.prod(p.shape[:-1]))
+        count = jnp.full((c,), k * nvalid, jnp.float32)
+        s1 = kf * jnp.sum(p, axis=axes) + s1p
+        s2 = kf * jnp.sum(jnp.square(p), axis=axes) + 2.0 * s2b + s2a
     else:
-        mean, var = bn_state["mean"], bn_state["var"]
-        new_state = bn_state
+        wc = w[..., None]
+        count = jnp.broadcast_to(kf * jnp.sum(w), (c,))
+        s1 = kf * jnp.sum(p * wc, axis=axes) + s1p
+        s2 = (
+            kf * jnp.sum(jnp.square(p) * wc, axis=axes) + 2.0 * s2b + s2a
+        )
+    from dgcnn_tpu.ops.norm import finalize_batch_stats
+
+    mean, var, new_state = finalize_batch_stats(
+        count, s1, s2, bn_state, momentum=momentum, axis_name=axis_name
+    )
     m = jnp.where(gamma >= 0, mx, mn)
     y = jax.nn.relu(
         (p + m - mean) * jax.lax.rsqrt(var + eps) * gamma + beta

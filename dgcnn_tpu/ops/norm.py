@@ -30,6 +30,59 @@ def batch_norm_init(dim: int, dtype=jnp.float32):
     return params, state
 
 
+def finalize_batch_stats(
+    count,
+    s1,
+    s2,
+    state,
+    *,
+    momentum: float,
+    axis_name: str | None = None,
+):
+    """Assemble BN batch statistics from local partial sums.
+
+    The ONE place the statistic semantics live — shared by
+    `batch_norm_apply` and the restructured EdgeConv blocks
+    (`ops.edge.edgeconv_block_reduced` / `edgeconv_block_fused`), whose
+    equivalence tests pin that they can never diverge.
+
+    Args:
+      count, s1, s2: valid-position count, sum, and sum-of-squares per
+        channel (count may be scalar when unmasked).
+      state: ``{"mean", "var"}`` running statistics.
+      axis_name: psum-merge the partial sums over this mesh axis
+        (cross-replica sync BN).
+
+    Returns:
+      ``(mean, var, new_state)``.
+    """
+    if axis_name is not None:
+        count = jax.lax.psum(count, axis_name)
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
+    denom = jnp.maximum(count, 1.0)
+    mean = s1 / denom
+    var = jnp.maximum(s2 / denom - jnp.square(mean), 0.0)
+    # an all-masked batch (count==0 — e.g. a DP replica that got only
+    # padded filler rows under --no_bn_sync) must leave the running
+    # statistics UNTOUCHED: blending in the degenerate mean=0/var=0
+    # would drag saved inference stats toward zero every epoch tail
+    has_data = count > 0
+    new_state = {
+        "mean": jnp.where(
+            has_data,
+            momentum * state["mean"] + (1.0 - momentum) * mean,
+            state["mean"],
+        ),
+        "var": jnp.where(
+            has_data,
+            momentum * state["var"] + (1.0 - momentum) * var,
+            state["var"],
+        ),
+    }
+    return mean, var, new_state
+
+
 def batch_norm_apply(
     params,
     state,
@@ -81,30 +134,9 @@ def batch_norm_apply(
             count = jnp.sum(w, axis=axes)  # (C,), identical per channel
             s1 = jnp.sum(x * w, axis=axes)
             s2 = jnp.sum(jnp.square(x) * w, axis=axes)
-        if axis_name is not None:
-            count = jax.lax.psum(count, axis_name)
-            s1 = jax.lax.psum(s1, axis_name)
-            s2 = jax.lax.psum(s2, axis_name)
-        denom = jnp.maximum(count, 1.0)
-        mean = s1 / denom
-        var = jnp.maximum(s2 / denom - jnp.square(mean), 0.0)
-        # an all-masked batch (count==0 — e.g. a DP replica that got only
-        # padded filler rows under --no_bn_sync) must leave the running
-        # statistics UNTOUCHED: blending in the degenerate mean=0/var=0
-        # would drag saved inference stats toward zero every epoch tail
-        has_data = count > 0
-        new_state = {
-            "mean": jnp.where(
-                has_data,
-                momentum * state["mean"] + (1.0 - momentum) * mean,
-                state["mean"],
-            ),
-            "var": jnp.where(
-                has_data,
-                momentum * state["var"] + (1.0 - momentum) * var,
-                state["var"],
-            ),
-        }
+        mean, var, new_state = finalize_batch_stats(
+            count, s1, s2, state, momentum=momentum, axis_name=axis_name
+        )
     else:
         mean, var = state["mean"], state["var"]
         new_state = state

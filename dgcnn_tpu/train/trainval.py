@@ -351,13 +351,18 @@ class Trainval:
             points, labels, weights, mask = batch
         if weights is None:
             weights = np.ones(labels.shape, np.float32)
-        if isinstance(points, jax.Array) and points.sharding.is_equivalent_to(
-            self._batch_sharding, points.ndim
-        ):
-            # caller already built correctly-sharded global arrays (e.g.
-            # the multi-host CP tests, whose cross-process point shards
-            # don't fit make_array_from_process_local_data's contiguous
-            # per-process-rows assumption)
+        def _presharded(x):
+            return isinstance(x, jax.Array) and x.sharding.is_equivalent_to(
+                self._batch_sharding, x.ndim
+            )
+
+        if all(_presharded(x) for x in (points, labels, weights, mask)):
+            # caller already built correctly-sharded global arrays for
+            # ALL FOUR batch parts (e.g. the multi-host CP tests, whose
+            # cross-process point shards don't fit
+            # make_array_from_process_local_data's contiguous
+            # per-process-rows assumption); a partial set falls through
+            # to the normal placement + dtype normalization
             return points, labels, weights, mask
         if jax.process_count() > 1:
             # each process holds its share of the global batch; assemble

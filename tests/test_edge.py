@@ -262,3 +262,36 @@ def test_model_fused_block_full_grads():
     le_f, _ = model_f.apply(params, state, pts, mask, train=False)
     le_e, _ = model_e.apply(params, state, pts, mask, train=False)
     assert bool(jnp.all(le_f == le_e))
+
+
+def test_bfloat16_models_ignore_block_impl():
+    """Under bf16 compute the edge path's per-edge rounding cannot be
+    reproduced by the factored statistics, so bf16 models always use the
+    edge form — block_impl stays a non-model-defining knob (logits must
+    be IDENTICAL across impl settings)."""
+    import dataclasses
+
+    from dgcnn_tpu.models import ModelSpec, get_model
+
+    rng = np.random.RandomState(4)
+    pts = jnp.asarray(rng.randn(2, 96, 4).astype(np.float32))
+    mask = jnp.asarray(rng.rand(2, 96) > 0.2)
+    spec_e = ModelSpec(
+        num_class=2, k=6, edge_filters=(16, 16), head_feat_dim=32,
+        head_mlp=(16,), residual=True, compute_dtype="bfloat16",
+        block_impl="edge",
+    )
+    params, state = get_model("residual-dgcnn", spec_e).init(
+        jax.random.PRNGKey(0), 4
+    )
+    outs = {}
+    for impl in ("edge", "reduced", "fused"):
+        model = get_model(
+            "residual-dgcnn", dataclasses.replace(spec_e, block_impl=impl)
+        )
+        lt, st = model.apply(params, state, pts, mask, train=True)
+        le, _ = model.apply(params, st, pts, mask, train=False)
+        outs[impl] = (lt, le)
+    for impl in ("reduced", "fused"):
+        assert bool(jnp.all(outs[impl][0] == outs["edge"][0])), impl
+        assert bool(jnp.all(outs[impl][1] == outs["edge"][1])), impl

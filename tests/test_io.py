@@ -252,3 +252,37 @@ def test_write_stream_mixed_labels_dropped(tmp_path):
     assert r.num_events() == 2
     assert r.read_event(0).labels is None  # mixed -> dropped, like write_any
     r.finalize()
+
+
+@pytest.mark.parametrize("ext", ["h5", "npz", "csv"])
+def test_segment_writer_all_empty_events(tmp_path, ext):
+    """Zero-point events exist in real dumps; an all-empty run must still
+    produce a structurally complete output (and clean up its temps)."""
+    import os
+
+    path = str(tmp_path / f"empty.{ext}")
+    w = SegmentWriter(path)
+    for eid in range(3):
+        w.store_segment(
+            eid,
+            np.zeros((0, 4), np.float32),
+            np.zeros((0,), np.int32),
+            np.zeros((0, 2), np.float32),
+        )
+    w.finalize()
+    assert not [f for f in os.listdir(tmp_path) if ".tmp." in f]
+    if ext == "csv":
+        with open(path) as f:
+            rows = f.read().strip().splitlines()
+        assert len(rows) == 1  # header only
+    elif ext == "h5":
+        import h5py
+
+        with h5py.File(path) as f:
+            assert f["data"].shape == (0, 4)
+            np.testing.assert_array_equal(f["event_ids"][:], [0, 1, 2])
+            np.testing.assert_array_equal(f["offsets"][:], [0, 0, 0, 0])
+    else:
+        with np.load(path) as z:
+            assert z["data"].shape == (0, 4)
+            np.testing.assert_array_equal(z["event_ids"], [0, 1, 2])
