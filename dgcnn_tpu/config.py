@@ -101,6 +101,11 @@ class Config:
     # (unrolled shard_map steps) or "rdma" (one fused Pallas kernel per
     # device, explicit inter-chip DMA overlapped with the merge)
     ring_impl: str = "ppermute"
+    # stacked shared-MLP convs per EdgeConv block (model-defining —
+    # changes parameter shapes; SURVEY §0.6 tags the reference depth
+    # [M], "possibly 2"). 1 = the factorized production path; >=2 adds
+    # per-edge conv+BN+relu stages before max-aggregation
+    block_convs: int = 1
     # EdgeConv block implementation: "edge" (default) is the classic
     # materializing form — XLA fuses it into one traversal and it
     # measures fastest; "reduced" never materializes the (B,N,k,D) edge
@@ -137,6 +142,7 @@ class Config:
             remat=self.remat,
             knn_every=self.knn_every,
             block_impl=self.block_impl,
+            block_convs=self.block_convs,
         )
 
     def validate(self):
@@ -179,6 +185,10 @@ class Config:
             raise ValueError("--early_stop_patience requires --val_file")
         if self.knn_every < 1:
             raise ValueError(f"knn_every must be >= 1, got {self.knn_every}")
+        if self.block_convs < 1:
+            raise ValueError(
+                f"block_convs must be >= 1, got {self.block_convs}"
+            )
         enums = {
             "precision": ("default", "highest", "bfloat16"),
             "knn_precision": ("highest", "default"),
@@ -310,6 +320,11 @@ def _add_common_flags(p: argparse.ArgumentParser):
     g.add_argument("--remat", action="store_true",
                    help="recompute each EdgeConv block in backward "
                    "(trade FLOPs for HBM at large NUM_POINT)")
+    g.add_argument("--block_convs", type=int, default=1,
+                   help="stacked shared-MLP convs per EdgeConv block "
+                   "(1 = factorized production path; >=2 adds per-edge "
+                   "conv+BN+relu stages before max — paper-style blocks; "
+                   "model-defining)")
     g.add_argument("--block_impl", default="edge",
                    choices=["edge", "reduced", "fused"],
                    help="EdgeConv block implementation: edge = classic "

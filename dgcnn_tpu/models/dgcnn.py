@@ -87,6 +87,15 @@ class ModelSpec:
     #   reproduce), so bfloat16 models always use the edge form and
     #   block_impl is ignored (enforced in make_model).
 
+    block_convs: int = 1  # stacked shared-MLP convs per EdgeConv block.
+    #   SURVEY.md §0.6 step 3 tags the reference's per-block depth [M]
+    #   ("possibly 2 stacked conv layers per block"); 1 matches the
+    #   factorized production path, ≥2 adds per-EDGE conv+BN+relu stages
+    #   before max-aggregation (paper-style blocks). Depth ≥2 always
+    #   uses the materializing edge path (the extra convs act on the
+    #   per-edge tensor, which the restructured impls never form).
+    #   MODEL-DEFINING (changes parameter shapes).
+
     @property
     def num_edge_conv(self) -> int:
         return len(self.edge_filters)
@@ -135,13 +144,27 @@ def make_model(
     _pool = pool_fn or _masked_max_points
 
     def init(rng, in_dim: int):
-        # 2 keys/block (conv + optional proj) + head feat/mlp/out
-        n_keys = 2 * len(spec.edge_filters) + len(spec.head_mlp) + 4
+        # keys/block (conv + extra convs + optional proj) + head feat/mlp/out
+        n_keys = (
+            (1 + spec.block_convs) * len(spec.edge_filters)
+            + len(spec.head_mlp)
+            + 4
+        )
         keys = iter(jax.random.split(rng, n_keys))
         blocks, block_states = [], []
         c_in = in_dim
         for c_out in spec.edge_filters:
             p, s = conv_bn_init(next(keys), 2 * c_in, c_out)
+            if spec.block_convs > 1:
+                # paper-style stacked per-edge convs: state becomes a
+                # dict ONLY at depth >= 2, so depth-1 checkpoints keep
+                # their historical tree structure
+                extra = [
+                    conv_bn_init(next(keys), c_out, c_out)
+                    for _ in range(spec.block_convs - 1)
+                ]
+                p["extra"] = [ep for ep, _ in extra]
+                s = {"main": s, "extra": [es for _, es in extra]}
             if spec.residual and c_in != c_out:
                 p["proj"] = dense_init(next(keys), c_in, c_out)
             blocks.append(p)
@@ -213,8 +236,12 @@ def make_model(
             # the reduced/fused algebra computes in f32; with bf16
             # compute the edge path's per-edge rounding cannot be
             # reproduced, so bfloat16 models always use "edge" (keeps
-            # block_impl a non-model-defining knob — see ModelSpec)
-            use_restructured = cdtype == jnp.float32
+            # block_impl a non-model-defining knob — see ModelSpec).
+            # Stacked per-edge convs (block_convs >= 2) likewise need
+            # the materialized edge tensor.
+            use_restructured = (
+                cdtype == jnp.float32 and spec.block_convs == 1
+            )
             if (
                 spec.block_impl == "fused"
                 and gather_fn is None
@@ -256,13 +283,14 @@ def make_model(
                 h = p_feat[..., :, None, :] + _gather(q_feat, idx)  # (B,N,k,C_out)
 
                 bn_mask = None if edge_mask is None else edge_mask[..., None]
+                stacked = "extra" in blk_p  # block_convs >= 2
                 # post-BN chain (relu, max, residual add) stays f32: casting
                 # it to bf16 makes deep-stack gradients overflow (see
                 # ops.norm.batch_norm_apply); y is cast back at the block
                 # boundary so the next block's matmuls run in compute dtype
-                h, bn_s = batch_norm_apply(
+                h, bn_s0 = batch_norm_apply(
                     {"scale": blk_p["bn"]["scale"], "bias": blk_p["bn"]["bias"]},
-                    blk_s,
+                    blk_s["main"] if stacked else blk_s,
                     h,
                     bn_mask,
                     train=train,
@@ -270,7 +298,38 @@ def make_model(
                     axis_name=bn_axis,
                     out_dtype=jnp.float32,
                 )
-                y = jnp.max(jax.nn.relu(h), axis=-2)  # aggregate over k
+                h = jax.nn.relu(h)
+                if stacked:
+                    # paper-style stacked per-edge convs (SURVEY §0.6
+                    # step 3 [M]): conv+BN+relu on the (B,N,k,C) edge
+                    # tensor before aggregation
+                    extra_states = []
+                    for ep, es in zip(blk_p["extra"], blk_s["extra"]):
+                        h = jnp.einsum(
+                            "...c,cd->...d",
+                            h.astype(cdtype),
+                            ep["w"].astype(cdtype),
+                            precision=precision,
+                        )
+                        h, es2 = batch_norm_apply(
+                            {
+                                "scale": ep["bn"]["scale"],
+                                "bias": ep["bn"]["bias"],
+                            },
+                            es,
+                            h,
+                            bn_mask,
+                            train=train,
+                            momentum=spec.bn_momentum,
+                            axis_name=bn_axis,
+                            out_dtype=jnp.float32,
+                        )
+                        h = jax.nn.relu(h)
+                        extra_states.append(es2)
+                    bn_s = {"main": bn_s0, "extra": extra_states}
+                else:
+                    bn_s = bn_s0
+                y = jnp.max(h, axis=-2)  # aggregate over k
             if spec.residual:
                 shortcut = (
                     dense_apply(blk_p["proj"], x, precision=precision, dtype=cdtype)

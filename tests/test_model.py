@@ -147,3 +147,73 @@ def test_knn_every_trains():
         if first is None:
             first = float(loss)
     assert float(loss) < 0.5 * first, (first, float(loss))
+
+
+def test_block_convs_stacked_depth():
+    """--block_convs >= 2: paper-style stacked per-edge convs (SURVEY
+    §0.6 step 3 [M]). Depth changes parameters and predictions; depth 1
+    keeps the historical param/state tree (old checkpoints load)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dgcnn_tpu.models import ModelSpec, get_model
+
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.randn(2, 64, 4).astype(np.float32))
+    mask = jnp.asarray(rng.rand(2, 64) > 0.2)
+    spec1 = ModelSpec(
+        num_class=2, k=5, edge_filters=(12, 16), head_feat_dim=24,
+        head_mlp=(16,), residual=True,
+    )
+    spec2 = dataclasses.replace(spec1, block_convs=2)
+    m1 = get_model("residual-dgcnn", spec1)
+    m2 = get_model("residual-dgcnn", spec2)
+    p1, s1 = m1.init(jax.random.PRNGKey(0), 4)
+    p2, s2 = m2.init(jax.random.PRNGKey(0), 4)
+
+    # depth-1 tree shape unchanged (no "extra" anywhere)
+    assert "extra" not in p1["blocks"][0]
+    assert "extra" in p2["blocks"][0] and len(p2["blocks"][0]["extra"]) == 1
+    assert p2["blocks"][0]["extra"][0]["w"].shape == (12, 12)
+    assert set(s2["blocks"][0]) == {"main", "extra"}
+
+    # both depths run fwd (train + eval) and produce distinct functions
+    l1, st1 = m1.apply(p1, s1, pts, mask, train=True)
+    l2, st2 = m2.apply(p2, s2, pts, mask, train=True)
+    assert l1.shape == l2.shape == (2, 64, 2)
+    m2.apply(p2, st2, pts, mask, train=False)
+
+    # gradients flow through the stacked convs
+    def loss(p):
+        logits, _ = m2.apply(p, s2, pts, mask, train=True)
+        return jnp.mean(jnp.square(logits))
+
+    g = jax.grad(loss)(p2)
+    gext = g["blocks"][0]["extra"][0]["w"]
+    assert float(jnp.sum(jnp.abs(gext))) > 0
+
+
+def test_block_convs_trains():
+    """Depth-2 blocks train end-to-end (loss decreases) through Trainval."""
+    from dgcnn_tpu.config import Config
+    from dgcnn_tpu.io import BucketBatcher, SyntheticIO
+    from dgcnn_tpu.parallel.mesh import make_mesh
+    from dgcnn_tpu.train import Trainval
+
+    cfg = Config(
+        num_class=2, kvalue=6, edge_filters=(12, 12), head_feat_dim=16,
+        head_mlp=(16,), minibatch_size=2, num_point=128, use_pallas=False,
+        block_convs=2, learning_rate=3e-3,
+    )
+    tv = Trainval(cfg, mesh=make_mesh(1))
+    state = tv.initialize(4)
+    io = SyntheticIO(num_events=2, num_point=128, seed=0).initialize()
+    batch = next(BucketBatcher(io, 2, num_point=128, shuffle=False).epoch())
+    losses = []
+    for _ in range(25):
+        state, m = tv.train_step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < 0.75 * losses[0], losses[::6]
