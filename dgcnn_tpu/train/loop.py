@@ -396,28 +396,48 @@ def inference(cfg) -> dict:
     n_batches = 0
     t0 = time.perf_counter()
     stream = prefetch(batcher.epoch(), cfg.prefetch)
+
+    def consume(pending):
+        """Host-side half of one batch: transfers, write-back, report.
+        Runs while the NEXT batch computes on the device (the np.asarray
+        calls block on batch i only, so device compute of batch i+1
+        overlaps the tunnel transfers + python writer work — measured
+        ~2x serving throughput at 4x4096 on the axon device)."""
+        nonlocal cm_total
+        batch, scores, pred, metrics, it = pending
+        cm_total += np.asarray(metrics["confusion"], np.float64)
+        if writer is not None:
+            scores_h, pred_h = np.asarray(scores), np.asarray(pred)
+            for i, eid in enumerate(batch.event_ids):
+                n_valid = int(batch.mask[i].sum())
+                writer.store_segment(
+                    int(eid),
+                    batch.points[i, :n_valid],
+                    pred_h[i, :n_valid],
+                    scores_h[i, :n_valid],
+                )
+        if reporter is not None:
+            reporter.report(it, 0.0, {"loss": float(metrics["loss"])})
+
+    pending = None
     try:
         for batch in stream:
             if cfg.iteration and n_batches >= cfg.iteration:
                 break
             local = batch if nproc == 1 else _local_batch_rows(batch, pid, nproc)
-            # eval outputs are all-gathered/replicated: full global batch
+            # eval outputs are all-gathered/replicated: full global batch.
+            # Dispatch is async — consume the PREVIOUS batch's host side
+            # while this one computes.
             scores, pred, metrics = tv.inference(state, local)
-            cm_total += np.asarray(metrics["confusion"], np.float64)
             n_batches += 1
-            if writer is not None:
-                scores_h, pred_h = np.asarray(scores), np.asarray(pred)
-                for i, eid in enumerate(batch.event_ids):
-                    n_valid = int(batch.mask[i].sum())
-                    writer.store_segment(
-                        int(eid),
-                        batch.points[i, :n_valid],
-                        pred_h[i, :n_valid],
-                        scores_h[i, :n_valid],
-                    )
-            if reporter is not None:
-                reporter.report(n_batches, 0.0, {"loss": float(metrics["loss"])})
+            if pending is not None:
+                prev, pending = pending, None
+                consume(prev)
+            pending = (batch, scores, pred, metrics, n_batches)
     finally:
+        if pending is not None:
+            prev, pending = pending, None
+            consume(prev)
         stream.close()
         if reporter is not None:
             reporter.close()

@@ -295,3 +295,38 @@ def test_bfloat16_models_ignore_block_impl():
     for impl in ("reduced", "fused"):
         assert bool(jnp.all(outs[impl][0] == outs["edge"][0])), impl
         assert bool(jnp.all(outs[impl][1] == outs["edge"][1])), impl
+
+
+def test_fused_block_under_remat():
+    """--remat wraps block_fn in jax.checkpoint; the custom-VJP core must
+    recompute correctly inside it (grads match the edge+remat path)."""
+    import dataclasses
+
+    from dgcnn_tpu.models import ModelSpec, get_model
+
+    rng = np.random.RandomState(13)
+    pts = jnp.asarray(rng.randn(2, 80, 4).astype(np.float32))
+    mask = jnp.asarray(rng.rand(2, 80) > 0.2)
+    spec_f = ModelSpec(
+        num_class=2, k=6, edge_filters=(12, 16), head_feat_dim=24,
+        head_mlp=(16,), residual=True, remat=True, block_impl="fused",
+    )
+    spec_e = dataclasses.replace(spec_f, block_impl="edge")
+    mf = get_model("residual-dgcnn", spec_f)
+    me = get_model("residual-dgcnn", spec_e)
+    params, state = mf.init(jax.random.PRNGKey(2), 4)
+
+    def make_loss(model):
+        def loss(params):
+            logits, _ = model.apply(params, state, pts, mask, train=True)
+            return jnp.mean(jnp.square(logits))
+
+        return loss
+
+    lf, gf = jax.value_and_grad(make_loss(mf))(params)
+    le, ge = jax.value_and_grad(make_loss(me))(params)
+    np.testing.assert_allclose(float(lf), float(le), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(ge)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-6
+        )
