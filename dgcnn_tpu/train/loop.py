@@ -397,17 +397,20 @@ def inference(cfg) -> dict:
     t0 = time.perf_counter()
     stream = prefetch(batcher.epoch(), cfg.prefetch)
 
+    nc = cfg.num_class
+    cm_dev = None  # confusion accumulates ON DEVICE; one transfer at end
+
     def consume(pending):
-        """Host-side half of one batch: transfers, write-back, report.
-        Runs while the NEXT batch computes on the device (the np.asarray
-        calls block on batch i only, so device compute of batch i+1
-        overlaps the tunnel transfers + python writer work — measured
-        ~2x serving throughput at 4x4096 on the axon device)."""
-        nonlocal cm_total
-        batch, scores, pred, metrics, it = pending
-        cm_total += np.asarray(metrics["confusion"], np.float64)
+        """Host-side half of one batch: transfer, write-back, report.
+        Runs while the NEXT batch computes on the device. One packed
+        device->host transfer carries scores AND predictions (each hop
+        through the axon tunnel costs ~45 ms at these shapes); the
+        confusion matrix never leaves the device until the loop ends."""
+        batch, packed, metrics, it = pending
         if writer is not None:
-            scores_h, pred_h = np.asarray(scores), np.asarray(pred)
+            arr = np.asarray(packed)
+            scores_h = arr[..., :nc]
+            pred_h = arr[..., nc].astype(np.int32)
             for i, eid in enumerate(batch.event_ids):
                 n_valid = int(batch.mask[i].sum())
                 writer.store_segment(
@@ -428,17 +431,26 @@ def inference(cfg) -> dict:
             # eval outputs are all-gathered/replicated: full global batch.
             # Dispatch is async — consume the PREVIOUS batch's host side
             # while this one computes.
-            scores, pred, metrics = tv.inference(state, local)
+            packed, metrics = tv.inference_packed(state, local)
+            cm = metrics["confusion"]
+            cm_dev = cm if cm_dev is None else cm_dev + cm
             n_batches += 1
+            if n_batches % 256 == 0:
+                # flush the f32 device accumulator into host f64 well
+                # before counts approach 2^24 (f32 integer exactness)
+                cm_total += np.asarray(cm_dev, np.float64)
+                cm_dev = None
             if pending is not None:
                 prev, pending = pending, None
                 consume(prev)
-            pending = (batch, scores, pred, metrics, n_batches)
+            pending = (batch, packed, metrics, n_batches)
     finally:
         if pending is not None:
             prev, pending = pending, None
             consume(prev)
         stream.close()
+        if cm_dev is not None:
+            cm_total += np.asarray(cm_dev, np.float64)
         if reporter is not None:
             reporter.close()
         io.finalize()

@@ -300,14 +300,20 @@ class Trainval:
             if not gather:
                 return loss, w_sum, cm
             scores = jax.nn.softmax(logits, axis=-1)
-            scores = jax.lax.all_gather(scores, DATA_AXIS, axis=0, tiled=True)
-            scores = jax.lax.all_gather(scores, POINT_AXIS, axis=1, tiled=True)
-            pred = jax.lax.all_gather(pred, DATA_AXIS, axis=0, tiled=True)
-            pred = jax.lax.all_gather(pred, POINT_AXIS, axis=1, tiled=True)
-            return scores, pred, loss, w_sum, cm
+            # pack scores + prediction into ONE gathered array: the
+            # device->host hop through the axon tunnel costs ~45 ms per
+            # transfer regardless of size at these shapes, so the
+            # serving loop fetches a single (B, N, C+1) array instead of
+            # two (predictions are exact in f32: num_class << 2^24)
+            packed = jnp.concatenate(
+                [scores, pred.astype(scores.dtype)[..., None]], axis=-1
+            )
+            packed = jax.lax.all_gather(packed, DATA_AXIS, axis=0, tiled=True)
+            packed = jax.lax.all_gather(packed, POINT_AXIS, axis=1, tiled=True)
+            return packed, loss, w_sum, cm
 
         bspec = self._batch_spec
-        out_specs = (P(), P(), P(), P(), P()) if gather else (P(), P(), P())
+        out_specs = (P(), P(), P(), P()) if gather else (P(), P(), P())
         smapped = jax.shard_map(
             device_eval,
             mesh=self.mesh,
@@ -320,17 +326,30 @@ class Trainval:
         )
         return jax.jit(smapped)
 
+    def inference_packed(self, state: TrainState, batch):
+        """Eval-mode forward returning the PACKED device array.
+
+        Returns ``(packed (B,N,C+1), metrics)`` where ``packed[..., :C]``
+        are softmax scores and ``packed[..., C]`` the argmax prediction
+        (as f32). The serving loop uses this to pay ONE device->host
+        transfer per batch instead of two.
+        """
+        points, labels, weights, mask = self._put_batch(batch)
+        packed, loss, w_sum, cm = self._eval_step(
+            state.params, state.model_state, points, labels, weights, mask
+        )
+        return packed, {"loss": loss, "loss_weight": w_sum, "confusion": cm}
+
     def inference(self, state: TrainState, batch):
         """Forward pass in eval mode (reference `trainval.inference` [M]).
 
         Returns (scores (B,N,C), pred (B,N), metrics dict incl. confusion
         matrix) — per-point softmax scores for write-back.
         """
-        points, labels, weights, mask = self._put_batch(batch)
-        scores, pred, loss, w_sum, cm = self._eval_step(
-            state.params, state.model_state, points, labels, weights, mask
-        )
-        return scores, pred, {"loss": loss, "loss_weight": w_sum, "confusion": cm}
+        packed, metrics = self.inference_packed(state, batch)
+        scores = packed[..., : self.cfg.num_class]
+        pred = packed[..., self.cfg.num_class].astype(jnp.int32)
+        return scores, pred, metrics
 
     def evaluate(self, state: TrainState, batch) -> dict:
         """Metrics-only eval (loss/confusion) — no prediction gathers; what
