@@ -124,3 +124,21 @@ def test_tpu_gate_smoke(monkeypatch, capsys):
     assert line["rdma_mismatches"] == 0
     assert line["export_max_abs_diff"] == 0.0
     assert rc == 0 and line["ok"], line
+
+
+def test_bench_serving_smoke(monkeypatch, capsys):
+    monkeypatch.setenv("SERVE_N", "256")
+    monkeypatch.setenv("SERVE_B", "2")
+    monkeypatch.setenv("SERVE_EVENTS", "6")
+    sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
+    try:
+        import bench_serving
+
+        importlib.reload(bench_serving)
+        bench_serving.main()
+    finally:
+        sys.path.remove(os.path.join(ROOT, "benchmarks"))
+    import json
+
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["value"] > 0 and line["batches"] == 3
