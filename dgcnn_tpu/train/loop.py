@@ -402,10 +402,10 @@ def inference(cfg) -> dict:
 
     def consume(pending):
         """Host-side half of one batch: transfer, write-back, report.
-        Runs while the NEXT batch computes on the device. One packed
-        device->host transfer carries scores AND predictions (each hop
-        through the axon tunnel costs ~45 ms at these shapes); the
-        confusion matrix never leaves the device until the loop ends."""
+        One packed device->host transfer carries scores AND predictions
+        (each hop through the axon tunnel costs ~45 ms at these shapes);
+        the confusion matrix never leaves the device until the loop
+        ends."""
         batch, packed, metrics, it = pending
         if writer is not None:
             arr = np.asarray(packed)
@@ -422,15 +422,43 @@ def inference(cfg) -> dict:
         if reporter is not None:
             reporter.report(it, 0.0, {"loss": float(metrics["loss"])})
 
-    pending = None
+    # The host half runs on ONE worker thread behind a small bounded
+    # queue, so batch i+1's device compute, batch i's tunnel transfer and
+    # batch i-1's writer/report work all overlap (the transfer releases
+    # the GIL). On error the worker records it and drains — it never
+    # blocks the producer — and the loop re-raises promptly. FIFO order
+    # preserves the writer's first-write-wins and report-line ordering.
+    import queue as _queue
+    import threading as _threading
+
+    work = _queue.Queue(maxsize=3)
+    errs = []
+
+    def _worker():
+        while True:
+            item = work.get()
+            try:
+                if item is None:
+                    return
+                if not errs:
+                    consume(item)
+            except BaseException as e:  # surfaced by the main thread
+                errs.append(e)
+            finally:
+                work.task_done()
+
+    worker = _threading.Thread(
+        target=_worker, name="inference-consume", daemon=True
+    )
+    worker.start()
     try:
         for batch in stream:
             if cfg.iteration and n_batches >= cfg.iteration:
                 break
+            if errs:
+                break
             local = batch if nproc == 1 else _local_batch_rows(batch, pid, nproc)
-            # eval outputs are all-gathered/replicated: full global batch.
-            # Dispatch is async — consume the PREVIOUS batch's host side
-            # while this one computes.
+            # eval outputs are all-gathered/replicated: full global batch
             packed, metrics = tv.inference_packed(state, local)
             cm = metrics["confusion"]
             cm_dev = cm if cm_dev is None else cm_dev + cm
@@ -440,20 +468,20 @@ def inference(cfg) -> dict:
                 # before counts approach 2^24 (f32 integer exactness)
                 cm_total += np.asarray(cm_dev, np.float64)
                 cm_dev = None
-            if pending is not None:
-                prev, pending = pending, None
-                consume(prev)
-            pending = (batch, packed, metrics, n_batches)
+            work.put((batch, packed, metrics, n_batches))
     finally:
-        if pending is not None:
-            prev, pending = pending, None
-            consume(prev)
+        work.put(None)
+        worker.join()
         stream.close()
         if cm_dev is not None:
             cm_total += np.asarray(cm_dev, np.float64)
         if reporter is not None:
             reporter.close()
         io.finalize()
+    if errs:
+        # re-raised OUTSIDE the finally so a loop-body exception is
+        # never masked by the worker's
+        raise errs[0]
     if writer is not None:
         writer.finalize()
         print(f"wrote {len(writer)} events -> {cfg.output_file}", flush=True)
