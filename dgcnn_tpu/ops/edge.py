@@ -23,8 +23,6 @@ fuses without materializing the ``(..., N, k, D)`` tensor in HBM.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
