@@ -18,6 +18,12 @@ from dgcnn_tpu.train import checkpoint
 from dgcnn_tpu.train.logging import Reporter, maybe_start_profiler, maybe_stop_profiler
 from dgcnn_tpu.train.trainval import Trainval
 
+# Flush the on-device f32 confusion accumulator to host f64 once this
+# many points have been accumulated: a single cell can gain at most one
+# count per point, and 2^23 leaves 2x headroom under f32's 2^24 integer
+# exactness bound. Module-level so tests can force frequent flushes.
+_CM_FLUSH_POINTS = 1 << 23
+
 
 def _flatten_metrics(metrics: dict) -> dict:
     """Expand vector metrics (per-class accuracy) into scalar columns."""
@@ -398,19 +404,21 @@ def inference(cfg) -> dict:
     stream = prefetch(batcher.epoch(), cfg.prefetch)
 
     nc = cfg.num_class
-    cm_dev = None  # confusion accumulates ON DEVICE; one transfer at end
+    cm_dev = None  # confusion accumulates ON DEVICE between flushes
+    cm_pts = 0  # points accumulated since the last flush
 
     def consume(pending):
         """Host-side half of one batch: transfer, write-back, report.
-        One packed device->host transfer carries scores AND predictions
-        (each hop through the axon tunnel costs ~45 ms at these shapes);
-        the confusion matrix never leaves the device until the loop
-        ends."""
-        batch, packed, metrics, it = pending
+        One packed f32 device->host transfer carries scores, predictions
+        AND the batch loss (each hop through the axon tunnel costs
+        ~45 ms at these shapes); the confusion matrix never leaves the
+        device until the accumulator flushes."""
+        batch, packed, it = pending
         if writer is not None:
             arr = np.asarray(packed)
             scores_h = arr[..., :nc]
             pred_h = arr[..., nc].astype(np.int32)
+            loss = float(arr[0, 0, nc + 1])
             for i, eid in enumerate(batch.event_ids):
                 n_valid = int(batch.mask[i].sum())
                 writer.store_segment(
@@ -419,8 +427,15 @@ def inference(cfg) -> dict:
                     pred_h[i, :n_valid],
                     scores_h[i, :n_valid],
                 )
+        else:
+            # no write-back on this host (non-lead process, or no
+            # --output_file): still pay a TINY per-batch transfer so
+            # device dispatch stays paced — without it the bounded
+            # queue provides no backpressure and hundreds of staged
+            # inputs + gathered outputs could pile up in HBM
+            loss = float(np.asarray(packed[0, 0, nc + 1]))
         if reporter is not None:
-            reporter.report(it, 0.0, {"loss": float(metrics["loss"])})
+            reporter.report(it, 0.0, {"loss": loss})
 
     # The host half runs on ONE worker thread behind a small bounded
     # queue, so batch i+1's device compute, batch i's tunnel transfer and
@@ -462,13 +477,17 @@ def inference(cfg) -> dict:
             packed, metrics = tv.inference_packed(state, local)
             cm = metrics["confusion"]
             cm_dev = cm if cm_dev is None else cm_dev + cm
+            cm_pts += batch.points.shape[0] * batch.points.shape[1]
             n_batches += 1
-            if n_batches % 256 == 0:
-                # flush the f32 device accumulator into host f64 well
-                # before counts approach 2^24 (f32 integer exactness)
+            if cm_pts >= _CM_FLUSH_POINTS:
+                # flush the f32 device accumulator into host f64 before
+                # any cell could approach 2^24 (f32 integer exactness):
+                # one batch adds at most B*N counts to a single cell,
+                # so the flush cadence must scale with B*N
                 cm_total += np.asarray(cm_dev, np.float64)
                 cm_dev = None
-            work.put((batch, packed, metrics, n_batches))
+                cm_pts = 0
+            work.put((batch, packed, n_batches))
     finally:
         work.put(None)
         worker.join()

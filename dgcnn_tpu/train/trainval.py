@@ -300,13 +300,25 @@ class Trainval:
             if not gather:
                 return loss, w_sum, cm
             scores = jax.nn.softmax(logits, axis=-1)
-            # pack scores + prediction into ONE gathered array: the
-            # device->host hop through the axon tunnel costs ~45 ms per
-            # transfer regardless of size at these shapes, so the
-            # serving loop fetches a single (B, N, C+1) array instead of
-            # two (predictions are exact in f32: num_class << 2^24)
+            # pack scores + prediction + the (already-psum'd) loss into
+            # ONE gathered f32 array: the device->host hop through the
+            # axon tunnel costs ~45 ms per transfer regardless of size
+            # at these shapes, so the serving loop fetches a single
+            # (B, N, C+2) array instead of three.  Packed in f32 even
+            # for bf16 models: f32 holds class indices exactly up to
+            # 2^24 (bf16 would silently round above 256) and the
+            # reported per-batch loss keeps full precision; the widening
+            # cast of bf16 scores is exact.
+            loss_lane = jnp.broadcast_to(
+                loss.astype(jnp.float32)[None, None], pred.shape
+            )
             packed = jnp.concatenate(
-                [scores, pred.astype(scores.dtype)[..., None]], axis=-1
+                [
+                    scores.astype(jnp.float32),
+                    pred.astype(jnp.float32)[..., None],
+                    loss_lane[..., None],
+                ],
+                axis=-1,
             )
             packed = jax.lax.all_gather(packed, DATA_AXIS, axis=0, tiled=True)
             packed = jax.lax.all_gather(packed, POINT_AXIS, axis=1, tiled=True)
@@ -329,10 +341,11 @@ class Trainval:
     def inference_packed(self, state: TrainState, batch):
         """Eval-mode forward returning the PACKED device array.
 
-        Returns ``(packed (B,N,C+1), metrics)`` where ``packed[..., :C]``
-        are softmax scores and ``packed[..., C]`` the argmax prediction
-        (as f32). The serving loop uses this to pay ONE device->host
-        transfer per batch instead of two.
+        Returns ``(packed (B,N,C+2), metrics)`` where ``packed[..., :C]``
+        are softmax scores, ``packed[..., C]`` the argmax prediction and
+        ``packed[..., C+1]`` the (scalar, broadcast) batch loss — all
+        f32. The serving loop uses this to pay ONE device->host transfer
+        per batch instead of three.
         """
         points, labels, weights, mask = self._put_batch(batch)
         packed, loss, w_sum, cm = self._eval_step(

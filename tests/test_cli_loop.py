@@ -240,3 +240,78 @@ def test_resume_warns_on_model_flag_mismatch(tmp_path, capsys):
     train(cfg2)
     out = capsys.readouterr().out
     assert "WARNING: model flags differ" in out and "kvalue" in out
+
+
+def _untrained_serving_setup(tmp_path, num_events=40):
+    """Events file + untrained checkpoint: enough for serving-loop tests
+    that exercise loop mechanics rather than model quality."""
+    from dgcnn_tpu.train.checkpoint import save
+    from dgcnn_tpu.train.trainval import Trainval
+
+    io = SyntheticIO(
+        num_events=num_events, num_point=192, num_class=2, seed=7
+    ).initialize()
+    events_path = str(tmp_path / "ev.h5")
+    write_canonical(events_path, [io.read_event(i) for i in range(num_events)], "h5")
+    cfg = _cfg(tmp_path, checkpoint_step=0)
+    tv = Trainval(cfg)
+    state = tv.initialize(io.read_event(0).points.shape[1])
+    ckpt = save(str(tmp_path / "w/snap"), 0, state, vars(cfg))
+    return events_path, ckpt
+
+
+def test_inference_worker_error_propagates(tmp_path, monkeypatch):
+    """A write-back failure in the consume worker thread must surface as
+    the loop's exception (not deadlock, not be swallowed) and must skip
+    writer.finalize so no partial output file appears."""
+    from dgcnn_tpu.train import loop as loop_mod
+
+    events_path, ckpt = _untrained_serving_setup(tmp_path)
+
+    class _BoomWriter:
+        def __init__(self, path):
+            self.path = path
+
+        def store_segment(self, *a, **kw):
+            raise RuntimeError("disk full (injected)")
+
+        def finalize(self):  # pragma: no cover - must NOT be reached
+            raise AssertionError("finalize must be skipped after a worker error")
+
+        def __len__(self):
+            return 0
+
+    monkeypatch.setattr(loop_mod, "SegmentWriter", _BoomWriter)
+    cfg = _cfg(
+        tmp_path, command="inference", io_type="h5", input_file=events_path,
+        model_path=ckpt,
+        output_file=str(tmp_path / "pred.h5"), shuffle=False, iteration=0,
+    )
+    with pytest.raises(RuntimeError, match="disk full"):
+        loop_mod.inference(cfg)
+    assert not os.path.exists(tmp_path / "pred.h5")
+
+
+def test_inference_cm_flush_invariance(tmp_path, monkeypatch):
+    """Flushing the on-device confusion accumulator every batch must give
+    metrics identical to the default (rare-flush) cadence, and the
+    mid-loop + residual flush paths must not double count."""
+    from dgcnn_tpu.train import loop as loop_mod
+
+    events_path, ckpt = _untrained_serving_setup(tmp_path)
+
+    def run(out):
+        cfg = _cfg(
+            tmp_path, command="inference", io_type="h5",
+            input_file=events_path, model_path=ckpt,
+            output_file=str(tmp_path / out), shuffle=False, iteration=0,
+            log_dir=str(tmp_path / "log_inf"),
+        )
+        return loop_mod.inference(cfg)
+
+    base = run("a.h5")
+    monkeypatch.setattr(loop_mod, "_CM_FLUSH_POINTS", 1)
+    frequent = run("b.h5")
+    assert base["batches"] == frequent["batches"] == 5
+    assert base["acc"] == frequent["acc"]
+    assert base["miou"] == frequent["miou"]
