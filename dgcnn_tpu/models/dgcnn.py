@@ -143,6 +143,23 @@ def make_model(
     _gather = gather_fn or gather_neighbors
     _pool = pool_fn or _masked_max_points
 
+    if spec.block_impl != "edge" and (
+        spec.compute_dtype != "float32" or spec.block_convs > 1
+    ):
+        # the restructured forms require f32 and depth-1 blocks (see the
+        # block_impl / block_convs notes on ModelSpec); say so once at
+        # build time instead of silently running the edge path
+        reason = (
+            f"compute_dtype={spec.compute_dtype!r}"
+            if spec.compute_dtype != "float32"
+            else f"block_convs={spec.block_convs}"
+        )
+        print(
+            f"WARNING: block_impl={spec.block_impl!r} requires f32 "
+            f"depth-1 blocks; {reason} forces the 'edge' implementation",
+            flush=True,
+        )
+
     def init(rng, in_dim: int):
         # keys/block (conv + extra convs + optional proj) + head feat/mlp/out
         n_keys = (

@@ -89,7 +89,7 @@ def _mismatch_error(path, payload, err):
         k: saved.get(k)
         for k in (
             "model_name", "edge_filters", "head_feat_dim", "head_mlp",
-            "optimizer", "lr_schedule", "num_class",
+            "block_convs", "optimizer", "lr_schedule", "num_class",
         )
     }
     return ValueError(
