@@ -217,3 +217,27 @@ def test_block_convs_trains():
         state, m = tv.train_step(state, batch)
         losses.append(float(m["loss"]))
     assert losses[-1] < 0.75 * losses[0], losses[::6]
+
+
+def test_block_impl_fallback_warns(capsys):
+    """Requesting a restructured block_impl it can't honor (bf16 compute
+    or stacked blocks) prints a one-time build warning naming the cause,
+    and prints nothing when the restructured path is actually used."""
+    import dataclasses
+
+    from dgcnn_tpu.models import ModelSpec, get_model
+
+    spec = ModelSpec(
+        num_class=2, k=5, edge_filters=(12,), head_feat_dim=8,
+        head_mlp=(8,), block_impl="fused",
+    )
+    get_model("dgcnn", dataclasses.replace(spec, block_convs=2))
+    out = capsys.readouterr().out
+    assert "WARNING" in out and "block_convs=2" in out
+
+    get_model("dgcnn", dataclasses.replace(spec, compute_dtype="bfloat16"))
+    out = capsys.readouterr().out
+    assert "WARNING" in out and "bfloat16" in out
+
+    get_model("dgcnn", spec)
+    assert capsys.readouterr().out == ""

@@ -44,6 +44,8 @@ def test_train_step_finite_under_fuzz(case):
         remat=bool(rng.randint(2)),
         knn_every=int(rng.choice([1, 2, 3])),
         precision=str(rng.choice(["highest", "bfloat16"])),
+        block_impl=str(rng.choice(["edge", "reduced", "fused"])),
+        block_convs=int(rng.choice([1, 1, 2])),
         seed=case,
     )
     tv = Trainval(cfg)
