@@ -24,11 +24,12 @@ import numpy as np
 STEPS = int(os.environ.get("CONV_STEPS", 300))
 N = int(os.environ.get("CONV_N", 4096))
 KNN_EVERY = int(os.environ.get("CONV_KNN_EVERY", 1))
+KNN_WINDOW = int(os.environ.get("CONV_KNN_WINDOW", 0))
 
 
 def run(steps=STEPS, n_point=N, edge_filters=(64,) * 6, head=(1024, (512, 256)),
         minibatch=4, num_events=32, kvalue=20, seed=7, use_pallas=True,
-        num_devices=0, knn_every=KNN_EVERY):
+        num_devices=0, knn_every=KNN_EVERY, knn_window=KNN_WINDOW):
     import jax
 
     from dgcnn_tpu.config import Config
@@ -50,6 +51,7 @@ def run(steps=STEPS, n_point=N, edge_filters=(64,) * 6, head=(1024, (512, 256)),
         seed=seed,
         num_devices=num_devices,
         knn_every=knn_every,
+        knn_window=knn_window,
     )
     tv = Trainval(cfg)
     state = tv.initialize(4)

@@ -31,6 +31,7 @@ B = int(os.environ.get("BENCH_B", 1))
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 KNN_EVERY = int(os.environ.get("BENCH_KNN_EVERY", 1))
+KNN_WINDOW = int(os.environ.get("BENCH_KNN_WINDOW", 0))
 ITERS = int(os.environ.get("BENCH_ITERS", 5))
 
 
@@ -62,6 +63,7 @@ def main():
         use_pallas=USE_PALLAS,
         remat=REMAT,
         knn_every=KNN_EVERY,
+        knn_window=KNN_WINDOW,
     )
     tv = Trainval(cfg, mesh=make_mesh(1))
     state = tv.initialize(4)
@@ -71,7 +73,16 @@ def main():
     model = tv.model
     k = cfg.kvalue
 
-    if USE_PALLAS:
+    if KNN_WINDOW and USE_PALLAS:
+        # banded path: sort once (as the model does), time banded builds
+        from dgcnn_tpu.kernels.knn_banded import knn_pallas_banded
+        from dgcnn_tpu.ops.sfc import morton_order
+
+        order, _ = jax.jit(morton_order)(points, mask)
+        points = jnp.take_along_axis(points, order[..., None], axis=-2)
+        mask = jnp.take_along_axis(mask, order, axis=-1)
+        knn = lambda x, m: knn_pallas_banded(x, k, m, window=KNN_WINDOW)
+    elif USE_PALLAS:
         from dgcnn_tpu.kernels.knn_pallas import knn_pallas
 
         knn = lambda x, m: knn_pallas(x, k, m)

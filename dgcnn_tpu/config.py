@@ -97,6 +97,13 @@ class Config:
     # indices across blocks — a large speed win at big N for a small,
     # measured accuracy cost, see BASELINE.md)
     knn_every: int = 1
+    # banded sub-quadratic kNN: 0 = exact (reference semantics); > 0
+    # sorts each event along a Morton curve once and restricts every
+    # graph build to this many consecutive sorted positions per query —
+    # O(N·window) instead of O(N²), the long-context lever at 100k+
+    # points (measured recall/accuracy in BASELINE.md). MODEL-DEFINING:
+    # inference/export adopt it from the checkpoint
+    knn_window: int = 0
     # ring mechanism for context-parallel graph builds: "ppermute"
     # (unrolled shard_map steps) or "rdma" (one fused Pallas kernel per
     # device, explicit inter-chip DMA overlapped with the merge)
@@ -141,6 +148,7 @@ class Config:
             ),
             remat=self.remat,
             knn_every=self.knn_every,
+            knn_window=self.knn_window,
             block_impl=self.block_impl,
             block_convs=self.block_convs,
         )
@@ -185,6 +193,22 @@ class Config:
             raise ValueError("--early_stop_patience requires --val_file")
         if self.knn_every < 1:
             raise ValueError(f"knn_every must be >= 1, got {self.knn_every}")
+        if self.knn_window < 0:
+            raise ValueError(
+                f"knn_window must be >= 0, got {self.knn_window}"
+            )
+        if self.knn_window and self.knn_window < self.kvalue:
+            raise ValueError(
+                f"knn_window={self.knn_window} is smaller than "
+                f"KVALUE={self.kvalue}: every query needs at least k "
+                f"candidates in its band"
+            )
+        if self.knn_window and self.point_shards > 1:
+            raise ValueError(
+                "--knn_window (banded kNN) and --point_shards (ring "
+                "context parallelism) cannot combine yet: the ring "
+                "builds the exact global graph. Use one or the other."
+            )
         if self.block_convs < 1:
             raise ValueError(
                 f"block_convs must be >= 1, got {self.block_convs}"
@@ -312,6 +336,13 @@ def _add_common_flags(p: argparse.ArgumentParser):
                    "blocks (1 = reference per-block semantics; higher "
                    "reuses the graph — big speedup at large NUM_POINT, "
                    "small measured accuracy cost)")
+    g.add_argument("--knn_window", type=int, default=0,
+                   help="banded sub-quadratic kNN: 0 = exact (reference "
+                   "semantics); > 0 sorts each event along a Morton "
+                   "curve and restricts every graph build to this many "
+                   "consecutive sorted positions per query — O(N*W) "
+                   "instead of O(N^2) at 100k+ points (model-defining; "
+                   "recall/accuracy measured in BASELINE.md)")
     g.add_argument("--ring_impl", default="ppermute",
                    choices=["ppermute", "rdma"],
                    help="context-parallel ring mechanism: ppermute = "

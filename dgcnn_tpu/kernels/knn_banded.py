@@ -1,0 +1,246 @@
+"""Fused Pallas TPU banded kNN: O(N·window) selection over SFC-sorted points.
+
+The sub-quadratic sibling of `kernels.knn_pallas`: points arrive sorted
+along a space-filling curve (`ops.sfc.morton_order`, padded points last)
+and each query block only sweeps the key tiles intersecting its rows'
+candidate windows ``[band_lo(pos), band_lo(pos) + window)`` — the window
+expression is imported from `ops.knn.band_lo` so the kernel can never
+drift from the jnp oracle (`ops.knn.banded_knn_indices`) that defines
+the `--knn_window` semantics.
+
+Everything else — augmented operands, narrow-transposed streamed key
+tiles, manual double-buffered DMA, the (k, QB) lane-transposed running
+top-k with `lax.top_k` tie order — is the proven structure of the exact
+kernel; the only kernel-side additions are (1) dynamic tile-loop bounds
+derived from the block's first/last window and (2) a per-row in-band
+mask applied to each score tile. At 131k points the exact kernel is at
+its O(N²) roofline (BASELINE.md) — this kernel's work scales with
+``N·window`` instead.
+
+No reference analog: the reference computes exact O(N²) kNN only
+[H per SURVEY.md §0.6].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dgcnn_tpu.ops.knn import band_lo
+from dgcnn_tpu.kernels.knn_pallas import (
+    _round_up,
+    _vma,
+    build_augmented_operands,
+)
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+def _banded_kernel(
+    nvalid_ref,  # (B,) SMEM — valid-point count per event
+    qa_ref,   # (1, QB, Cp) VMEM — query block
+    ka_ref,   # (B, c2p, Nkp) HBM — ALL keys, transposed narrow layout
+    idx_ref,  # (1, k, QB) VMEM out
+    val_ref,  # (1, k, QB) VMEM out
+    tile,     # (2, c2p, T) VMEM scratch — key-tile double buffer
+    copy_sem,
+    *,
+    k,
+    block_t,
+    window,
+    precision,
+):
+    b = pl.program_id(0)
+    q = pl.program_id(1)
+    c2p = ka_ref.shape[1]
+    n_tiles = ka_ref.shape[2] // block_t
+    qa = qa_ref[0][:, :c2p]  # (QB, c2p)
+    qb = qa.shape[0]
+    nv = nvalid_ref[b]
+
+    # per-row candidate windows; lo is monotone in sorted position, so the
+    # block's tile range is [first row's window start, last row's window end)
+    rows = q * qb + jax.lax.broadcasted_iota(jnp.int32, (qb, 1), 0)
+    lo = band_lo(rows, nv, window)               # (QB, 1)
+    t0 = band_lo(q * qb, nv, window) // block_t  # scalar
+    t_end = band_lo(q * qb + qb - 1, nv, window) + window
+    t1 = jnp.minimum((t_end + block_t - 1) // block_t, n_tiles)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (qb, block_t), 1)
+    kio = jax.lax.broadcasted_iota(jnp.int32, (k, qb), 0)
+
+    def tile_copy(t, tslot):
+        return pltpu.make_async_copy(
+            ka_ref.at[b, :, pl.ds(t * block_t, block_t)],
+            tile.at[tslot],
+            copy_sem.at[tslot],
+        )
+
+    tile_copy(t0, 0).start()
+
+    def merge_tile(t, carry):
+        topv, topi = carry
+        tslot = jax.lax.rem(t - t0, 2)
+
+        @pl.when(t + 1 < t1)
+        def _():
+            tile_copy(t + 1, jax.lax.rem(t + 1 - t0, 2)).start()
+
+        tile_copy(t, tslot).wait()
+        scores = jax.lax.dot_general(
+            qa,
+            tile[tslot],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # (QB, T)
+        tile_base = t * block_t
+        gcol = tile_base + cols
+        in_band = jnp.logical_and(gcol >= lo, gcol < lo + window)
+        scores = jnp.where(in_band, scores, NEG_INF)
+
+        # identical merge to the exact kernel (see knn_pallas._knn_kernel):
+        # progress-flag do-while of extract -> sorted (k, QB) insert
+        def pass_cond(c):
+            s, _, _, _, progressed = c
+            return jnp.logical_and(s < k, progressed)
+
+        def pass_body(c):
+            s, topv, topi, scores, _ = c
+            m_col = jnp.max(scores, axis=1, keepdims=True)
+            arg_col = jnp.min(
+                jnp.where(scores == m_col, cols, jnp.int32(2**30)),
+                axis=1,
+                keepdims=True,
+            )
+            scores = jnp.where(cols == arg_col, NEG_INF, scores)
+            m = m_col.T
+            gidx = arg_col.T + tile_base
+            pos = jnp.sum((topv >= m).astype(jnp.int32), axis=0, keepdims=True)
+            rolled_v = pltpu.roll(topv, 1, axis=0)
+            rolled_i = pltpu.roll(topi, 1, axis=0)
+            new_v = jnp.where(kio < pos, topv, jnp.where(kio == pos, m, rolled_v))
+            new_i = jnp.where(kio < pos, topi, jnp.where(kio == pos, gidx, rolled_i))
+            enter = m > topv[k - 1 : k]
+            new_v = jnp.where(enter, new_v, topv)
+            new_i = jnp.where(enter, new_i, topi)
+            return s + 1, new_v, new_i, scores, jnp.any(enter)
+
+        _, topv, topi, _, _ = jax.lax.while_loop(
+            pass_cond,
+            pass_body,
+            (jnp.int32(0), topv, topi, scores, jnp.bool_(True)),
+        )
+        return topv, topi
+
+    topv0 = jnp.full((k, qb), NEG_INF, jnp.float32)
+    topi0 = jnp.zeros((k, qb), jnp.int32)
+    topv, topi = jax.lax.fori_loop(t0, t1, merge_tile, (topv0, topi0))
+    idx_ref[0] = topi
+    val_ref[0] = topv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "window", "block_q", "block_t", "interpret", "precision"),
+)
+def _banded_pallas_call(
+    x, mask, nvalid, *, k, window, block_q, block_t, interpret, precision
+):
+    b, n, c = x.shape
+    qa, ka, cp, nq_pad, nk_pad = build_augmented_operands(
+        x, x, mask, block_q=block_q, block_t=block_t, key_layout="narrow_t"
+    )
+    c2p = ka.shape[1]
+
+    grid = (b, nq_pad // block_q)
+    idx_t, val_t = pl.pallas_call(
+        functools.partial(
+            _banded_kernel,
+            k=k,
+            block_t=block_t,
+            window=window,
+            precision=precision,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # nvalid (B,)
+            pl.BlockSpec(
+                (1, block_q, cp), lambda b_, q: (b_, q, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # keys stream via DMA
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, k, block_q), lambda b_, q: (b_, 0, q),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, k, block_q), lambda b_, q: (b_, 0, q),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k, nq_pad), jnp.int32, vma=_vma(qa)),
+            jax.ShapeDtypeStruct((b, k, nq_pad), jnp.float32, vma=_vma(qa)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, c2p, block_t), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(nvalid, qa, ka)
+    idx = jnp.swapaxes(idx_t, -1, -2)[:, :n]  # (B, N, k)
+    vals = jnp.swapaxes(val_t, -1, -2)[:, :n]
+    valid = vals > -1e29
+    self_idx = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    idx = jnp.where(valid, idx, self_idx)
+    return idx, valid
+
+
+def knn_pallas_banded(
+    x,
+    k: int,
+    mask=None,
+    *,
+    window: int,
+    block_q: int = 256,
+    block_t: int = 1024,
+    interpret: bool | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Drop-in banded `knn_fn`: same contract as `ops.knn.banded_knn_indices`.
+
+    ``x`` must be SFC-sorted with padded points last (the model handles
+    the permutation when ``--knn_window > 0``). Selection matches the jnp
+    banded oracle the way the exact kernel matches `lax.top_k` of the f32
+    oracle: bit-exact indices, with the documented 1-ulp near-tie caveat
+    of the single-contraction score form.
+    """
+    b, n, c = x.shape
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    window = min(window, n)
+    block_q = min(block_q, _round_up(n, 128))
+    block_t = min(block_t, _round_up(n, 128))
+    if mask is None:
+        nvalid = jnp.full((b,), n, jnp.int32)
+    else:
+        nvalid = jnp.sum(mask, axis=-1).astype(jnp.int32)
+    return _banded_pallas_call(
+        x,
+        mask,
+        nvalid,
+        k=k,
+        window=window,
+        block_q=block_q,
+        block_t=block_t,
+        interpret=interpret,
+        precision=precision,
+    )

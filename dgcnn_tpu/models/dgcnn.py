@@ -39,8 +39,9 @@ from dgcnn_tpu.ops.edge import (
     edgeconv_block_reduced,
     gather_neighbors,
 )
-from dgcnn_tpu.ops.knn import knn_indices
+from dgcnn_tpu.ops.knn import banded_knn_indices, knn_indices
 from dgcnn_tpu.ops.norm import batch_norm_apply
+from dgcnn_tpu.ops.sfc import morton_order
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,6 +87,19 @@ class ModelSpec:
     #   (per-edge ~2^-8 rounding the factored statistics cannot
     #   reproduce), so bfloat16 models always use the edge form and
     #   block_impl is ignored (enforced in make_model).
+
+    knn_window: int = 0  # banded sub-quadratic kNN: 0 = exact (reference
+    #   semantics); > 0 sorts each event's points along a Morton curve
+    #   over the input features (ops.sfc) ONCE at entry and restricts
+    #   every dynamic-graph build to the `knn_window` consecutive sorted
+    #   positions centered on each query — O(N·W) instead of O(N²) score
+    #   work, the only remaining lever at 100k+ points where the exact
+    #   kernel sits at its O(N²) roofline (BASELINE.md). The whole
+    #   network runs in sorted order (kNN, gathers, BN and pooling are
+    #   permutation-invariant); logits are unpermuted at exit.
+    #   MODEL-DEFINING (changes predictions): inference/export adopt it
+    #   from the checkpoint. Accuracy/recall measured in BASELINE.md and
+    #   benchmarks/probe_banded.py.
 
     block_convs: int = 1  # stacked shared-MLP convs per EdgeConv block.
     #   SURVEY.md §0.6 step 3 tags the reference's per-block depth [M]
@@ -139,7 +153,18 @@ def make_model(
       pool_fn: ``(x, mask) -> (B, C)`` masked global max pool — a
         pmax-reducing variant under context parallelism.
     """
-    _knn = knn_fn or (lambda x, k, mask: knn_indices(x, k, mask, precision=precision))
+    if knn_fn is not None:
+        _knn = knn_fn
+    elif spec.knn_window > 0:
+        # banded oracle over SFC-sorted points (apply permutes at entry);
+        # the Pallas banded kernel arrives through knn_fn on TPU
+        _knn = lambda x, k, mask: banded_knn_indices(  # noqa: E731
+            x, k, mask, window=spec.knn_window, precision=precision
+        )
+    else:
+        _knn = lambda x, k, mask: knn_indices(  # noqa: E731
+            x, k, mask, precision=precision
+        )
     _gather = gather_fn or gather_neighbors
     _pool = pool_fn or _masked_max_points
 
@@ -223,6 +248,17 @@ def make_model(
         Returns (logits (B, N, num_class), new_state).
         """
         cdtype = jnp.dtype(spec.compute_dtype)
+        inv_pos = None
+        if spec.knn_window > 0:
+            # banded kNN: run the WHOLE network in space-filling-curve
+            # order (padded points last) — every op between here and the
+            # exit unpermute is permutation-invariant given the permuted
+            # mask, so only the entry/exit gathers are new work. The sort
+            # key comes from the raw input features (ops.sfc docstring).
+            order, inv_pos = morton_order(points, mask)
+            points = jnp.take_along_axis(points, order[..., None], axis=-2)
+            if mask is not None:
+                mask = jnp.take_along_axis(mask, order, axis=-1)
         x = points.astype(cdtype)
         new_state = {"blocks": [], "head": {}}
         block_feats = []
@@ -415,6 +451,10 @@ def make_model(
         logits = dense_apply(
             params["head"]["out"], h, precision=precision, dtype=cdtype
         )
+        if inv_pos is not None:
+            # back to the caller's point order (row j was computed at
+            # sorted position inv_pos[j])
+            logits = jnp.take_along_axis(logits, inv_pos[..., None], axis=-2)
         # losses/metrics always see f32 logits
         return logits.astype(jnp.float32), new_state
 

@@ -85,6 +85,125 @@ def knn_indices(
     return idx.astype(jnp.int32), neighbor_valid
 
 
+def band_lo(pos, nvalid, window: int):
+    """First candidate position of each query's banded window.
+
+    THE window-defining expression, in exactly one place — shared by the
+    jnp oracle (`banded_knn_indices`) and the Pallas banded kernel
+    (`kernels.knn_banded`) so the two can never drift: a query at sorted
+    position ``pos`` sees the ``window`` consecutive sorted positions
+    centered on it, clipped so the window stays inside the valid region
+    ``[0, nvalid)`` whenever ``nvalid >= window`` (every valid query then
+    scores exactly ``window`` real candidates).
+
+    Args:
+      pos: int32 sorted position(s) of the query (any shape).
+      nvalid: scalar (or broadcastable) int32 count of valid points.
+      window: static candidate-window size.
+
+    Returns:
+      int32 ``lo`` of the same shape as ``pos``; the window is
+      ``[lo, lo + window)``.
+    """
+    hi = jnp.maximum(nvalid - window, 0)
+    return jnp.clip(pos - window // 2, 0, hi).astype(jnp.int32)
+
+
+def banded_knn_indices(
+    x: jax.Array,
+    k: int,
+    mask: jax.Array | None = None,
+    *,
+    window: int,
+    precision=None,
+    block_q: int = 1024,
+) -> tuple[jax.Array, jax.Array]:
+    """Banded kNN over SFC-SORTED points: O(N·window) instead of O(N²).
+
+    ``x`` must already be in space-filling-curve order with padded points
+    sorted last (`ops.sfc.morton_order` — the model permutes once at
+    entry when ``--knn_window > 0``). Each query at sorted position ``i``
+    selects its top-k only among the ``window`` consecutive sorted
+    positions ``[band_lo(i), band_lo(i) + window)`` — sorted-position
+    proximity proxies feature proximity, so this recovers most of the
+    exact graph at a fraction of its cost (recall measured in
+    `benchmarks/probe_banded.py`; accuracy in the convergence bench).
+
+    Same return contract as `knn_indices` (self-inclusion, tie order =
+    lowest index, <k-candidate slots degrade to self-edges with
+    ``neighbor_valid`` False). With ``window >= N`` the candidate set is
+    every valid point and the selected neighbor SETS equal the exact
+    oracle's. No reference analog: the reference is exact-only [H per
+    SURVEY.md §0.6]; this is the TPU-native sub-quadratic opt-in
+    (`--knn_window`).
+    """
+    n = x.shape[-2]
+    w = min(window, n)
+    if w >= n and n <= block_q:
+        # degenerate: the band covers everything — use the exact path
+        return knn_indices(x, k, mask, precision=precision)
+    qb = min(block_q, n)
+    while n % qb:
+        qb //= 2
+    span = w + qb  # every window of a qb-query block fits in [ulo, ulo+span)
+
+    def one_event(xe, maske):
+        nvalid = (
+            jnp.int32(n) if maske is None else jnp.sum(maske).astype(jnp.int32)
+        )
+        sq = jnp.sum(jnp.square(xe), axis=-1)  # (N,)
+        # pad keys by qb rows so the span slice never clips; padded rows
+        # are masked out
+        xp = jnp.pad(xe, ((0, qb), (0, 0)))
+        sqp = jnp.pad(sq, (0, qb))
+        mp = jnp.pad(
+            jnp.ones((n,), bool) if maske is None else maske, (0, qb)
+        )
+
+        def chunk(s):
+            rows = s * qb + jnp.arange(qb, dtype=jnp.int32)
+            lo = band_lo(rows, nvalid, w)  # (qb,)
+            ulo = lo[0]  # lo is monotone non-decreasing in position
+            keys = jax.lax.dynamic_slice(xp, (ulo, 0), (span, xe.shape[-1]))
+            ksq = jax.lax.dynamic_slice(sqp, (ulo,), (span,))
+            km = jax.lax.dynamic_slice(mp, (ulo,), (span,))
+            xq = jax.lax.dynamic_slice(xe, (s * qb, 0), (qb, xe.shape[-1]))
+            inner = jnp.einsum("ic,jc->ij", xq, keys, precision=precision)
+            neg = -(
+                jax.lax.dynamic_slice(sq, (s * qb,), (qb,))[:, None]
+                + ksq[None, :]
+                - 2.0 * inner
+            )
+            gcol = ulo + jnp.arange(span, dtype=jnp.int32)[None, :]
+            band = (gcol >= lo[:, None]) & (gcol < (lo + w)[:, None])
+            neg = jnp.where(band & km[None, :], neg, -jnp.inf)
+            vals, cols = jax.lax.top_k(neg, k)
+            return vals, ulo + cols
+
+        vals, idx = jax.lax.map(
+            chunk, jnp.arange(n // qb, dtype=jnp.int32)
+        )  # (nb, qb, k)
+        vals = vals.reshape(n, k)
+        idx = idx.reshape(n, k).astype(jnp.int32)
+        self_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+        valid = jnp.isfinite(vals)
+        return jnp.where(valid, idx, self_idx), valid
+
+    batch_shape = x.shape[:-2]
+    if not batch_shape:
+        return one_event(x, mask)
+    xf = x.reshape((-1,) + x.shape[-2:])
+    mf = None if mask is None else mask.reshape((-1, n))
+    if mf is None:
+        idx, valid = jax.vmap(lambda xe: one_event(xe, None))(xf)
+    else:
+        idx, valid = jax.vmap(one_event)(xf, mf)
+    return (
+        idx.reshape(batch_shape + (n, k)),
+        valid.reshape(batch_shape + (n, k)),
+    )
+
+
 def _knn_indices_blocked(x, k, mask, *, precision, block_q):
     """Memory-bounded oracle: (block_q, N) distance strips under lax.map.
 

@@ -103,7 +103,17 @@ class Trainval:
             extra_ops = {"gather_fn": ops.gather, "pool_fn": ops.pool}
         elif knn_fn is None and cfg.use_pallas:
             knn_fn = _maybe_pallas_knn(
-                getattr(cfg, "knn_precision", "highest")
+                getattr(cfg, "knn_precision", "highest"),
+                getattr(cfg, "knn_window", 0),
+            )
+        if self._cp and getattr(cfg, "knn_window", 0):
+            # the ring builds the exact global graph; banded selection is
+            # a single-device-graph implementation for now (a spatially
+            # sharded banded CP would exchange only window-boundary
+            # blocks — future work, see docs/DESIGN.md)
+            raise ValueError(
+                "--knn_window (banded kNN) cannot combine with "
+                "point_shards > 1 (ring context parallelism)"
             )
         self.model = get_model(
             cfg.model_name,
@@ -462,10 +472,12 @@ def _make_optimizer(name: str, lr, grad_clip: float = 0.0):
     return opt
 
 
-def _maybe_pallas_knn(knn_precision: str = "highest"):
+def _maybe_pallas_knn(knn_precision: str = "highest", knn_window: int = 0):
     """Fused Pallas kNN on TPU backends; None (jnp oracle) elsewhere —
     interpret-mode emulation off-TPU is orders of magnitude slower than
-    lax.top_k and must never be a silent default."""
+    lax.top_k and must never be a silent default. With ``knn_window > 0``
+    returns the banded kernel (`kernels.knn_banded`) — the model permutes
+    points to SFC order before calling it."""
     import functools
 
     import jax as _jax
@@ -473,12 +485,18 @@ def _maybe_pallas_knn(knn_precision: str = "highest"):
     if _jax.default_backend() not in ("tpu", "axon"):
         return None
     try:
-        from dgcnn_tpu.kernels.knn_pallas import knn_pallas
-
         prec = {
             "highest": _jax.lax.Precision.HIGHEST,
             "default": _jax.lax.Precision.DEFAULT,
         }[knn_precision]
+        if knn_window > 0:
+            from dgcnn_tpu.kernels.knn_banded import knn_pallas_banded
+
+            return functools.partial(
+                knn_pallas_banded, window=knn_window, precision=prec
+            )
+        from dgcnn_tpu.kernels.knn_pallas import knn_pallas
+
         return functools.partial(knn_pallas, precision=prec)
     except ImportError:
         return None
