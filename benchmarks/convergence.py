@@ -25,10 +25,11 @@ STEPS = int(os.environ.get("CONV_STEPS", 300))
 N = int(os.environ.get("CONV_N", 4096))
 KNN_EVERY = int(os.environ.get("CONV_KNN_EVERY", 1))
 KNN_WINDOW = int(os.environ.get("CONV_KNN_WINDOW", 0))
+SEED = int(os.environ.get("CONV_SEED", 7))
 
 
 def run(steps=STEPS, n_point=N, edge_filters=(64,) * 6, head=(1024, (512, 256)),
-        minibatch=4, num_events=32, kvalue=20, seed=7, use_pallas=True,
+        minibatch=4, num_events=32, kvalue=20, seed=SEED, use_pallas=True,
         num_devices=0, knn_every=KNN_EVERY, knn_window=KNN_WINDOW):
     import jax
 

@@ -10,6 +10,8 @@ in CLAUDE.md, next to bench.py).
 Legs:
   knn      fused Pallas kNN vs the f32 oracle at 16k (full-index sweep,
            masks + duplicate points; expect 0 mismatches)
+  banded   banded Pallas kNN (--knn_window) vs the banded jnp oracle at
+           4k, window n/4 (same sweep + near-tie split; expect 0)
   rdma     ring_knn_rdma Mosaic-compiled at the largest local D vs the
            global oracle (expect 0)
   export   export -> deserialize -> serve round-trip vs live eval-mode
@@ -94,6 +96,52 @@ def _split_mismatches(x, idx_a, idx_b, val_a, val_b, rtol=1e-6):
         else:
             hard += 1
     return hard, near
+
+
+def leg_knn_banded():
+    """Banded Pallas kNN vs the banded jnp oracle (same near-tie split).
+
+    Runs at GATE_N // 4 with window GATE_N // 16: the banded oracle's
+    blocked dynamic-slice + top_k form compiles slowly at 16k through
+    the remote TPU compiler, and a 4k sweep already exercises every
+    kernel feature (dynamic tile bounds, per-row band mask, SMEM nvalid,
+    masked suffix, duplicate ties)."""
+    from dgcnn_tpu.kernels.knn_banded import knn_pallas_banded
+    from dgcnn_tpu.ops.knn import banded_knn_indices
+    from dgcnn_tpu.ops.sfc import morton_order
+
+    n, c, k = max(GATE_N // 4, 512), 64, 20
+    w = max(n // 4, 128)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, n, c)).astype(np.float32)
+    x[:, n // 2] = x[:, 1]  # duplicates -> tie order must match
+    x[:, n - 5] = x[:, 1]
+    mask = np.ones((1, n), bool)
+    mask[:, -n // 64 :] = False
+    xj, mj = jnp.asarray(x), jnp.asarray(mask)
+    order, _ = morton_order(xj, mj)
+    xs = jnp.take_along_axis(xj, order[..., None], axis=-2)
+    ms = jnp.take_along_axis(mj, order, axis=-1)
+    idx_p, val_p = jax.jit(
+        lambda x, m: knn_pallas_banded(
+            x, k, m, window=w, precision=jax.lax.Precision.HIGHEST
+        )
+    )(xs, ms)
+    idx_o, val_o = jax.jit(
+        lambda x, m: banded_knn_indices(
+            x, k, m, window=w, precision=jax.lax.Precision.HIGHEST
+        )
+    )(xs, ms)
+    hard, near = _split_mismatches(
+        np.asarray(xs), idx_p, idx_o, val_p, val_o
+    )
+    return {
+        "banded_n": n,
+        "banded_window": w,
+        "banded_mismatches": hard,
+        "banded_near_ties": near,
+        "banded_total": int(idx_p.size),
+    }
 
 
 def leg_rdma():
@@ -221,11 +269,13 @@ def main():
     out = {"backend": jax.default_backend(), "n": GATE_N}
     with tempfile.TemporaryDirectory() as td:
         out.update(leg_knn())
+        out.update(leg_knn_banded())
         out.update(leg_rdma())
         out.update(leg_export(td))
         out.update(leg_convergence())
     out["ok"] = bool(
         out["knn_mismatches"] == 0
+        and out["banded_mismatches"] == 0
         and out["rdma_mismatches"] == 0
         and out["export_max_abs_diff"] <= 1e-5
         and out["conv_loss_end"] < 0.7 * out["conv_loss_start"]

@@ -183,3 +183,49 @@ def test_export_adopts_checkpoint_model_flags(tmp_path, capsys):
     sa = load_exported(out_good)(pts, mask)
     sb = load_exported(out_bad)(pts, mask)
     np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+
+
+def test_export_banded_model_roundtrip(tmp_path, capsys):
+    """A --knn_window model exports (Morton sort + banded oracle must
+    serialize through jax.export) and the artifact adopts the window
+    from the checkpoint even when the CLI forgets it."""
+    cfg = Config(
+        command="train",
+        iteration=3,
+        report_step=3,
+        checkpoint_step=0,
+        weight_prefix=str(tmp_path / "w/s"),
+        log_dir=str(tmp_path / "log"),
+        knn_window=32,
+        **SMALL,
+    )
+    train(cfg)
+    ckpt = checkpoint.latest(str(tmp_path / "w") + "/s")
+    assert ckpt
+
+    out = str(tmp_path / "banded.jaxir")
+    capsys.readouterr()
+    run_export(dataclasses.replace(
+        cfg, command="export", model_path=ckpt, output_file=out,
+        minibatch_size=1, knn_window=0,  # "forgot" the flag
+    ))
+    assert "adopting model flags from checkpoint" in capsys.readouterr().out
+
+    # artifact == live eval inference on the same trained state
+    from dgcnn_tpu.train.trainval import Trainval
+
+    cfg_live = dataclasses.replace(cfg, command="train", model_path=ckpt)
+    tv = Trainval(cfg_live)
+    state = tv.initialize(4)
+    state, _, _ = checkpoint.restore(ckpt, state)
+    rng = np.random.RandomState(1)
+    pts = jnp.asarray(rng.randn(1, cfg.num_point, 4), jnp.float32)
+    mask = jnp.asarray(np.arange(cfg.num_point)[None, :] < 100)
+    live_logits, _ = tv.model.apply(
+        state.params, state.model_state, pts, mask, train=False
+    )
+    live = jax.nn.softmax(live_logits, axis=-1)
+    served = load_exported(out)(pts, mask)
+    np.testing.assert_allclose(
+        np.asarray(served), np.asarray(live), atol=1e-6
+    )

@@ -43,6 +43,8 @@ def test_train_step_finite_under_fuzz(case):
         dropout=float(rng.choice([0.0, 0.3])),
         remat=bool(rng.randint(2)),
         knn_every=int(rng.choice([1, 2, 3])),
+        # banded windows must stay >= kvalue (flag validation); 0 = exact
+        knn_window=int(rng.choice([0, 0, max(k, 32), n])),
         precision=str(rng.choice(["highest", "bfloat16"])),
         block_impl=str(rng.choice(["edge", "reduced", "fused"])),
         block_convs=int(rng.choice([1, 1, 2])),
