@@ -11,7 +11,9 @@ Legs:
   knn      fused Pallas kNN vs the f32 oracle at 16k (full-index sweep,
            masks + duplicate points; expect 0 mismatches)
   banded   banded Pallas kNN (--knn_window) vs the banded jnp oracle at
-           4k, window n/4 (same sweep + near-tie split; expect 0)
+           4k, window n/4 (same sweep + near-tie split; expect 0), plus
+           the halo-cross form (banded CP's local scorer: nonzero
+           q_base/key_base offsets) on a mid-event shard (expect 0)
   rdma     ring_knn_rdma Mosaic-compiled at the largest local D vs the
            global oracle (expect 0)
   export   export -> deserialize -> serve round-trip vs live eval-mode
@@ -77,18 +79,21 @@ def leg_knn():
     }
 
 
-def _split_mismatches(x, idx_a, idx_b, val_a, val_b, rtol=1e-6):
+def _split_mismatches(x, idx_a, idx_b, val_a, val_b, rtol=1e-6, q_off=0):
     """(hard, near): disagreements whose f64 distances differ beyond /
     within rtol — near-ties are legitimate 1-ulp expression skew. Any
     validity-flag disagreement is HARD regardless of distances (a slot
     with equal indices but flipped valid would otherwise compare its
-    distance against itself and always pass as a near-tie)."""
+    distance against itself and always pass as a near-tie).
+
+    ``q_off``: global position of query row 0 when the idx arrays cover
+    only a shard of ``x`` (the halo-cross leg)."""
     va, vb = np.asarray(val_a), np.asarray(val_b)
     ia, ib = np.asarray(idx_a), np.asarray(idx_b)
     hard = int(np.sum(va != vb))
     near = 0
     for b, i, s in np.argwhere((ia != ib) & (va == vb)):
-        xi = x[b, i].astype(np.float64)
+        xi = x[b, q_off + i].astype(np.float64)
         da = float(np.sum((xi - x[b, ia[b, i, s]].astype(np.float64)) ** 2))
         db = float(np.sum((xi - x[b, ib[b, i, s]].astype(np.float64)) ** 2))
         if abs(da - db) <= rtol * max(da, db, 1e-12):
@@ -135,13 +140,45 @@ def leg_knn_banded():
     hard, near = _split_mismatches(
         np.asarray(xs), idx_p, idx_o, val_p, val_o
     )
-    return {
+    out = {
         "banded_n": n,
         "banded_window": w,
         "banded_mismatches": hard,
         "banded_near_ties": near,
         "banded_total": int(idx_p.size),
     }
+
+    # halo-cross form (banded CP's local scorer): same kernel with
+    # nonzero q_base/key_base SMEM offsets — 'shard' 1 of 4 with W-row
+    # halos sliced from the same sorted event; valid rows must match the
+    # oracle's rows (padded-row self-edge contract differs by design)
+    from dgcnn_tpu.kernels.knn_banded import knn_pallas_banded_cross
+
+    d, off = 4, n // 4
+    nl = n // d
+    nv = jnp.sum(ms, axis=-1).astype(jnp.int32)
+    idx_c, val_c = knn_pallas_banded_cross(
+        xs[:, off : off + nl],
+        xs[:, off - w : off + nl + w],
+        k,
+        ms[:, off - w : off + nl + w],
+        window=w, q_base=off, key_base=off - w, nvalid=nv,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    mrow = np.asarray(ms[:, off : off + nl])
+    keep = mrow[..., None] & np.ones((1, 1, k), bool)
+    hard_c, near_c = _split_mismatches(
+        np.asarray(xs),
+        np.where(keep, np.asarray(idx_c), np.asarray(idx_o[:, off : off + nl])),
+        np.asarray(idx_o[:, off : off + nl]),
+        np.where(keep, np.asarray(val_c), np.asarray(val_o[:, off : off + nl])),
+        np.asarray(val_o[:, off : off + nl]),
+        q_off=off,
+    )
+    out.update(
+        {"banded_cross_mismatches": hard_c, "banded_cross_near_ties": near_c}
+    )
+    return out
 
 
 def leg_rdma():
@@ -276,6 +313,7 @@ def main():
     out["ok"] = bool(
         out["knn_mismatches"] == 0
         and out["banded_mismatches"] == 0
+        and out["banded_cross_mismatches"] == 0
         and out["rdma_mismatches"] == 0
         and out["export_max_abs_diff"] <= 1e-5
         and out["conv_loss_end"] < 0.7 * out["conv_loss_start"]

@@ -204,11 +204,31 @@ class Config:
                 f"candidates in its band"
             )
         if self.knn_window and self.point_shards > 1:
-            raise ValueError(
-                "--knn_window (banded kNN) and --point_shards (ring "
-                "context parallelism) cannot combine yet: the ring "
-                "builds the exact global graph. Use one or the other."
-            )
+            # banded CP exchanges window-sized halos with the immediate
+            # ring neighbors only (kernels.halo_knn), so every shard must
+            # be at least one window wide
+            for n in ((self.num_point,) if self.num_point else self.buckets or ()):
+                if n % self.point_shards:
+                    raise ValueError(
+                        f"padded event size {n} not divisible by "
+                        f"point_shards={self.point_shards}"
+                    )
+                if self.knn_window > n // self.point_shards:
+                    raise ValueError(
+                        f"knn_window={self.knn_window} exceeds the local "
+                        f"shard size {n // self.point_shards} (= {n} points "
+                        f"/ {self.point_shards} shards): the halo-exchange "
+                        f"banded CP needs window <= points per shard. Use "
+                        f"fewer point shards, a smaller window, or the "
+                        f"exact ring (knn_window=0)."
+                    )
+            if self.ring_impl == "rdma":
+                raise ValueError(
+                    "--ring_impl rdma does not apply to banded context "
+                    "parallelism (--knn_window with point_shards > 1): the "
+                    "banded path exchanges halos, not ring blocks. Drop "
+                    "--ring_impl or use knn_window=0 for the exact RDMA ring."
+                )
         if self.block_convs < 1:
             raise ValueError(
                 f"block_convs must be >= 1, got {self.block_convs}"

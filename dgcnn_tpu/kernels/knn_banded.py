@@ -43,6 +43,9 @@ NEG_INF = float(np.finfo(np.float32).min)
 
 def _banded_kernel(
     nvalid_ref,  # (B,) SMEM — valid-point count per event
+    bases_ref,   # (2,) SMEM — [q_base, key_base] global sorted position of
+    #              query row 0 / key row 0 (both 0 on the single-device
+    #              path; per-shard offsets on the halo-CP cross path)
     qa_ref,   # (1, QB, Cp) VMEM — query block
     ka_ref,   # (B, c2p, Nkp) HBM — ALL keys, transposed narrow layout
     idx_ref,  # (1, k, QB) VMEM out
@@ -62,14 +65,21 @@ def _banded_kernel(
     qa = qa_ref[0][:, :c2p]  # (QB, c2p)
     qb = qa.shape[0]
     nv = nvalid_ref[b]
+    q_base = bases_ref[0]
+    key_base = bases_ref[1]
 
-    # per-row candidate windows; lo is monotone in sorted position, so the
-    # block's tile range is [first row's window start, last row's window end)
-    rows = q * qb + jax.lax.broadcasted_iota(jnp.int32, (qb, 1), 0)
+    # per-row candidate windows in GLOBAL sorted positions; lo is monotone
+    # in position, so the block's key-local tile range is [first row's
+    # window start, last row's window end), shifted by key_base and
+    # clamped — a chunk of all-padded queries can claim a window left of
+    # the key array (halo path), which clamps to an empty/garbage range
+    # that the caller discards via the self-edge fallback
+    rows = q_base + q * qb + jax.lax.broadcasted_iota(jnp.int32, (qb, 1), 0)
     lo = band_lo(rows, nv, window)               # (QB, 1)
-    t0 = band_lo(q * qb, nv, window) // block_t  # scalar
-    t_end = band_lo(q * qb + qb - 1, nv, window) + window
-    t1 = jnp.minimum((t_end + block_t - 1) // block_t, n_tiles)
+    first_ext = band_lo(q_base + q * qb, nv, window) - key_base
+    t0 = jnp.clip(first_ext, 0, (n_tiles - 1) * block_t) // block_t
+    t_end = band_lo(q_base + q * qb + qb - 1, nv, window) + window - key_base
+    t1 = jnp.clip((t_end + block_t - 1) // block_t, t0, n_tiles)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (qb, block_t), 1)
     kio = jax.lax.broadcasted_iota(jnp.int32, (k, qb), 0)
@@ -100,7 +110,9 @@ def _banded_kernel(
             precision=precision,
         )  # (QB, T)
         tile_base = t * block_t
-        gcol = tile_base + cols
+        # band test in GLOBAL sorted positions (indices stay key-local;
+        # the wrapper adds key_base back)
+        gcol = key_base + tile_base + cols
         in_band = jnp.logical_and(gcol >= lo, gcol < lo + window)
         scores = jnp.where(in_band, scores, NEG_INF)
 
@@ -150,11 +162,12 @@ def _banded_kernel(
     static_argnames=("k", "window", "block_q", "block_t", "interpret", "precision"),
 )
 def _banded_pallas_call(
-    x, mask, nvalid, *, k, window, block_q, block_t, interpret, precision
+    xq, xk, mask_k, nvalid, bases,
+    *, k, window, block_q, block_t, interpret, precision,
 ):
-    b, n, c = x.shape
+    b, n, c = xq.shape
     qa, ka, cp, nq_pad, nk_pad = build_augmented_operands(
-        x, x, mask, block_q=block_q, block_t=block_t, key_layout="narrow_t"
+        xq, xk, mask_k, block_q=block_q, block_t=block_t, key_layout="narrow_t"
     )
     c2p = ka.shape[1]
 
@@ -170,6 +183,7 @@ def _banded_pallas_call(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # nvalid (B,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # bases (2,)
             pl.BlockSpec(
                 (1, block_q, cp), lambda b_, q: (b_, q, 0),
                 memory_space=pltpu.VMEM,
@@ -195,12 +209,14 @@ def _banded_pallas_call(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(nvalid, qa, ka)
-    idx = jnp.swapaxes(idx_t, -1, -2)[:, :n]  # (B, N, k)
+    )(nvalid, bases, qa, ka)
+    idx = jnp.swapaxes(idx_t, -1, -2)[:, :n]  # (B, N, k) key-local
     vals = jnp.swapaxes(val_t, -1, -2)[:, :n]
     valid = vals > -1e29
-    self_idx = jnp.arange(n, dtype=jnp.int32)[None, :, None]
-    idx = jnp.where(valid, idx, self_idx)
+    # global positions: key-local indices shift by key_base; the self
+    # fallback is the query's own global position
+    self_idx = bases[0] + jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    idx = jnp.where(valid, bases[1] + idx, self_idx)
     return idx, valid
 
 
@@ -235,8 +251,61 @@ def knn_pallas_banded(
         nvalid = jnp.sum(mask, axis=-1).astype(jnp.int32)
     return _banded_pallas_call(
         x,
+        x,
         mask,
         nvalid,
+        jnp.zeros((2,), jnp.int32),
+        k=k,
+        window=window,
+        block_q=block_q,
+        block_t=block_t,
+        interpret=interpret,
+        precision=precision,
+    )
+
+
+def knn_pallas_banded_cross(
+    xq,
+    xk_ext,
+    k: int,
+    mask_ext=None,
+    *,
+    window: int,
+    q_base,
+    key_base,
+    nvalid,
+    block_q: int = 256,
+    block_t: int = 1024,
+    interpret: bool | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+):
+    """Banded selection with offset query/key positions (the halo-CP form).
+
+    The local scorer of the halo-exchange banded CP (`kernels.halo_knn`
+    with ``use_pallas=True``): queries are this device's shard (query row
+    ``r`` at global sorted position ``q_base + r``), keys are the
+    halo-extended candidate array (key row ``j`` at ``key_base + j``).
+    Same selection contract as `knn_pallas_banded` on the full event for
+    every VALID query row (single-contraction scores — the documented
+    near-tie caveat applies on TPU); rows whose clipped windows fall
+    outside the extended array return garbage the caller must overwrite
+    (halo_knn forces padded query rows to self-edges).
+
+    Returns (idx, valid) with idx in GLOBAL sorted positions.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    block_q = min(block_q, _round_up(xq.shape[1], 128))
+    block_t = min(block_t, _round_up(xk_ext.shape[1], 128))
+    bases = jnp.stack(
+        [jnp.asarray(q_base, jnp.int32), jnp.asarray(key_base, jnp.int32)]
+    )
+    return _banded_pallas_call(
+        xq,
+        xk_ext,
+        mask_ext,
+        nvalid.astype(jnp.int32),
+        bases,
         k=k,
         window=window,
         block_q=block_q,

@@ -138,6 +138,7 @@ def make_model(
     precision=None,
     gather_fn=None,
     pool_fn=None,
+    pre_sorted: bool = False,
 ) -> Model:
     """Build the init/apply pair for a DGCNN segmentation model.
 
@@ -152,6 +153,12 @@ def make_model(
         take-along-axis gather.
       pool_fn: ``(x, mask) -> (B, C)`` masked global max pool — a
         pmax-reducing variant under context parallelism.
+      pre_sorted: banded models (``knn_window > 0``) normally Morton-sort
+        at entry and unpermute logits at exit; True means the CALLER
+        already sorted the whole batch globally (banded context
+        parallelism — a per-shard local sort would be wrong) and wants
+        logits back in sorted order. An execution detail like the
+        ``*_fn`` overrides, NOT model-defining.
     """
     if knn_fn is not None:
         _knn = knn_fn
@@ -249,7 +256,7 @@ def make_model(
         """
         cdtype = jnp.dtype(spec.compute_dtype)
         inv_pos = None
-        if spec.knn_window > 0:
+        if spec.knn_window > 0 and not pre_sorted:
             # banded kNN: run the WHOLE network in space-filling-curve
             # order (padded points last) — every op between here and the
             # exit unpermute is permutation-invariant given the permuted

@@ -109,6 +109,84 @@ def band_lo(pos, nvalid, window: int):
     return jnp.clip(pos - window // 2, 0, hi).astype(jnp.int32)
 
 
+def _banded_select_core(
+    xq_all,
+    sq_all,
+    keys_ext,
+    ksq_ext,
+    km_ext,
+    *,
+    key_base,
+    q_base,
+    nvalid,
+    k: int,
+    w: int,
+    qb: int,
+    precision,
+):
+    """Shared banded top-k selection over one event (or one event's shard).
+
+    THE selection expression of the banded path, in exactly one place —
+    called by the single-device oracle (`banded_knn_indices`, with
+    ``q_base = key_base = 0``) and by the context-parallel halo path
+    (`kernels.halo_knn`, with per-shard offsets), so the two are bitwise
+    identical wherever both have the candidate rows: per-element scores,
+    band masks and `top_k` tie order all come from this function.
+
+    Args:
+      xq_all: ``(NQ, C)`` query rows; query ``r`` sits at global sorted
+        position ``q_base + r``.
+      sq_all: ``(NQ,)`` precomputed ``|x|^2`` of the query rows.
+      keys_ext: ``(M, C)`` candidate rows; row ``j`` sits at global sorted
+        position ``key_base + j``. Must cover every chunk's span slice
+        ``[band_lo(chunk) - key_base, ... + w + qb)`` for chunks whose
+        first query is valid (callers guarantee this — the oracle pads by
+        ``qb``, the halo path carries a ``w``-row halo per side); chunks
+        of all-invalid queries may slice clamped garbage, which callers
+        must discard (the halo path forces those rows to self-edges).
+      ksq_ext / km_ext: ``(M,)`` ``|x|^2`` and validity of the candidate
+        rows.
+      nvalid: scalar int32 count of valid points in the WHOLE event.
+      k / w / qb: neighbor count, window size, query-chunk size
+        (``NQ % qb == 0``).
+      precision: scoring matmul precision.
+
+    Returns:
+      ``vals``: ``(NQ, k)`` selected scores (−inf where fewer than ``k``
+        in-band valid candidates existed).
+      ``idx``: ``(NQ, k)`` GLOBAL sorted positions of the selections
+        (meaningless where ``vals`` is −inf — callers substitute self).
+    """
+    nq, c = xq_all.shape
+    span = w + qb
+
+    def chunk(s):
+        rows = q_base + s * qb + jnp.arange(qb, dtype=jnp.int32)
+        lo = band_lo(rows, nvalid, w)  # (qb,)
+        ulo = lo[0]  # lo is monotone non-decreasing in position
+        start = ulo - key_base
+        keys = jax.lax.dynamic_slice(keys_ext, (start, 0), (span, c))
+        ksq = jax.lax.dynamic_slice(ksq_ext, (start,), (span,))
+        km = jax.lax.dynamic_slice(km_ext, (start,), (span,))
+        xq = jax.lax.dynamic_slice(xq_all, (s * qb, 0), (qb, c))
+        inner = jnp.einsum("ic,jc->ij", xq, keys, precision=precision)
+        neg = -(
+            jax.lax.dynamic_slice(sq_all, (s * qb,), (qb,))[:, None]
+            + ksq[None, :]
+            - 2.0 * inner
+        )
+        gcol = ulo + jnp.arange(span, dtype=jnp.int32)[None, :]
+        band = (gcol >= lo[:, None]) & (gcol < (lo + w)[:, None])
+        neg = jnp.where(band & km[None, :], neg, -jnp.inf)
+        vals, cols = jax.lax.top_k(neg, k)
+        return vals, ulo + cols
+
+    vals, idx = jax.lax.map(
+        chunk, jnp.arange(nq // qb, dtype=jnp.int32)
+    )  # (nb, qb, k)
+    return vals.reshape(nq, k), idx.reshape(nq, k).astype(jnp.int32)
+
+
 def banded_knn_indices(
     x: jax.Array,
     k: int,
@@ -145,7 +223,6 @@ def banded_knn_indices(
     qb = min(block_q, n)
     while n % qb:
         qb //= 2
-    span = w + qb  # every window of a qb-query block fits in [ulo, ulo+span)
 
     def one_event(xe, maske):
         nvalid = (
@@ -159,32 +236,11 @@ def banded_knn_indices(
         mp = jnp.pad(
             jnp.ones((n,), bool) if maske is None else maske, (0, qb)
         )
-
-        def chunk(s):
-            rows = s * qb + jnp.arange(qb, dtype=jnp.int32)
-            lo = band_lo(rows, nvalid, w)  # (qb,)
-            ulo = lo[0]  # lo is monotone non-decreasing in position
-            keys = jax.lax.dynamic_slice(xp, (ulo, 0), (span, xe.shape[-1]))
-            ksq = jax.lax.dynamic_slice(sqp, (ulo,), (span,))
-            km = jax.lax.dynamic_slice(mp, (ulo,), (span,))
-            xq = jax.lax.dynamic_slice(xe, (s * qb, 0), (qb, xe.shape[-1]))
-            inner = jnp.einsum("ic,jc->ij", xq, keys, precision=precision)
-            neg = -(
-                jax.lax.dynamic_slice(sq, (s * qb,), (qb,))[:, None]
-                + ksq[None, :]
-                - 2.0 * inner
-            )
-            gcol = ulo + jnp.arange(span, dtype=jnp.int32)[None, :]
-            band = (gcol >= lo[:, None]) & (gcol < (lo + w)[:, None])
-            neg = jnp.where(band & km[None, :], neg, -jnp.inf)
-            vals, cols = jax.lax.top_k(neg, k)
-            return vals, ulo + cols
-
-        vals, idx = jax.lax.map(
-            chunk, jnp.arange(n // qb, dtype=jnp.int32)
-        )  # (nb, qb, k)
-        vals = vals.reshape(n, k)
-        idx = idx.reshape(n, k).astype(jnp.int32)
+        vals, idx = _banded_select_core(
+            xe, sq, xp, sqp, mp,
+            key_base=0, q_base=0, nvalid=nvalid,
+            k=k, w=w, qb=qb, precision=precision,
+        )
         self_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
         valid = jnp.isfinite(vals)
         return jnp.where(valid, idx, self_idx), valid

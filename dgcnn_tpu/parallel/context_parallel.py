@@ -110,3 +110,45 @@ def cp_graph_ops(
         gather=lambda values, idx: ring_gather(values, idx, axis_name=axis_name),
         pool=lambda x, mask: cp_masked_max_pool(x, mask, axis_name),
     )
+
+
+def banded_cp_graph_ops(
+    axis_name: str = POINT_AXIS,
+    *,
+    window: int,
+    knn_precision=None,
+    use_pallas: bool | None = None,
+) -> GraphOps:
+    """Halo-exchange banded kNN / gather / pool bound to a mesh axis.
+
+    The `--knn_window` × `--point_shards` composition: the batch arrives
+    GLOBALLY Morton-sorted (Trainval sorts it before `shard_map`), each
+    device owns a contiguous sorted band, and both the graph build and the
+    neighbor gathers exchange only ``window``-row halos with the two ring
+    neighbors — O(W) ICI traffic per device instead of the exact ring's
+    O(N_local · (D−1)). See `kernels.halo_knn` for the exactness contract
+    (valid rows bitwise the single-device banded oracle).
+
+    ``knn_precision`` is the graph-build scoring precision, the same knob
+    and default (HIGHEST) as `cp_graph_ops`. ``use_pallas`` routes the
+    local banded selection through the fused kernel
+    (`kernels.knn_banded.knn_pallas_banded_cross`); defaults to True on
+    TPU backends, False elsewhere (the jnp core is the bitwise
+    banded-oracle reference and what CPU-mesh tests exercise).
+    """
+    from dgcnn_tpu.kernels.halo_knn import halo_gather, halo_knn
+
+    if knn_precision is None:
+        knn_precision = jax.lax.Precision.HIGHEST
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    return GraphOps(
+        knn=lambda x, k, mask: halo_knn(
+            x, k, mask, window=window, axis_name=axis_name,
+            precision=knn_precision, use_pallas=use_pallas,
+        ),
+        gather=lambda values, idx: halo_gather(
+            values, idx, window=window, axis_name=axis_name
+        ),
+        pool=lambda x, mask: cp_masked_max_pool(x, mask, axis_name),
+    )

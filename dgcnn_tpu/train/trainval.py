@@ -28,8 +28,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from dgcnn_tpu.io.batching import Batch
 from dgcnn_tpu.models import get_model
+from dgcnn_tpu.ops.sfc import morton_order
 from dgcnn_tpu.parallel.collectives import DATA_AXIS, POINT_AXIS
-from dgcnn_tpu.parallel.context_parallel import cp_graph_ops
+from dgcnn_tpu.parallel.context_parallel import banded_cp_graph_ops, cp_graph_ops
 from dgcnn_tpu.parallel.mesh import make_mesh
 
 
@@ -71,8 +72,15 @@ class Trainval:
         precision = _precision_of(cfg.precision)
         extra_ops = {}
         ring_impl = getattr(cfg, "ring_impl", "ppermute")
+        # banded CP: globally Morton-sorted batch, halo-exchange banded
+        # graph builds/gathers — O(window) ICI traffic instead of the
+        # exact ring's O(N_local·(D−1)). The steps sort the batch before
+        # shard_map (a per-shard local sort would be wrong) and the model
+        # is built pre_sorted.
+        self._banded_cp = self._cp and getattr(cfg, "knn_window", 0) > 0
         if (
             self._cp
+            and not self._banded_cp
             and ring_impl == "rdma"
             and jax.default_backend() not in ("tpu", "axon")
         ):
@@ -93,12 +101,25 @@ class Trainval:
                 if getattr(cfg, "knn_precision", "highest") == "highest"
                 else jax.lax.Precision.DEFAULT
             )
-            ops = cp_graph_ops(
-                POINT_AXIS,
-                precision=precision,
-                impl=ring_impl,
-                knn_precision=knn_prec,
-            )
+            if self._banded_cp:
+                if ring_impl == "rdma":
+                    raise ValueError(
+                        "--ring_impl rdma does not apply to banded context "
+                        "parallelism (--knn_window with point_shards > 1): "
+                        "the banded path exchanges halos, not ring blocks."
+                    )
+                ops = banded_cp_graph_ops(
+                    POINT_AXIS,
+                    window=cfg.knn_window,
+                    knn_precision=knn_prec,
+                )
+            else:
+                ops = cp_graph_ops(
+                    POINT_AXIS,
+                    precision=precision,
+                    impl=ring_impl,
+                    knn_precision=knn_prec,
+                )
             knn_fn = knn_fn or ops.knn
             extra_ops = {"gather_fn": ops.gather, "pool_fn": ops.pool}
         elif knn_fn is None and cfg.use_pallas:
@@ -106,20 +127,12 @@ class Trainval:
                 getattr(cfg, "knn_precision", "highest"),
                 getattr(cfg, "knn_window", 0),
             )
-        if self._cp and getattr(cfg, "knn_window", 0):
-            # the ring builds the exact global graph; banded selection is
-            # a single-device-graph implementation for now (a spatially
-            # sharded banded CP would exchange only window-boundary
-            # blocks — future work, see docs/DESIGN.md)
-            raise ValueError(
-                "--knn_window (banded kNN) cannot combine with "
-                "point_shards > 1 (ring context parallelism)"
-            )
         self.model = get_model(
             cfg.model_name,
             cfg.model_spec(),
             knn_fn=knn_fn,
             precision=precision,
+            pre_sorted=self._banded_cp,
             **extra_ops,
         )
         self._lr = _make_lr(cfg)
@@ -264,6 +277,24 @@ class Trainval:
             in_specs=(P(), P(), P(), P(), P(), bspec, bspec, bspec, bspec),
             out_specs=(P(), P(), P(), P(), P(), P()),
         )
+        if self._banded_cp:
+            # banded CP: Morton-sort the GLOBAL batch before shard_map so
+            # every device owns a contiguous sorted band (the model is
+            # built pre_sorted). Loss/metrics/BN are permutation-invariant
+            # given the consistently permuted labels/weights/mask, so
+            # nothing unpermutes on the train path.
+            def sorted_step(
+                params, mstate, opt_state, step, rng, points, labels, weights, mask
+            ):
+                points, labels, weights, mask = _sort_batch_global(
+                    points, labels, weights, mask
+                )[:4]
+                return smapped(
+                    params, mstate, opt_state, step, rng,
+                    points, labels, weights, mask,
+                )
+
+            return jax.jit(sorted_step, donate_argnums=(0, 1, 2))
         return jax.jit(smapped, donate_argnums=(0, 1, 2))
 
     def train_step(self, state: TrainState, batch) -> tuple[TrainState, dict]:
@@ -346,6 +377,23 @@ class Trainval:
             # values — replication is asserted by the multi-host tests
             check_vma=not gather,
         )
+        if self._banded_cp:
+            # banded CP: sort globally before shard_map; the gathered
+            # packed scores/predictions come back in SORTED order and are
+            # unpermuted here so write-back sees the caller's point order.
+            # Loss/confusion are permutation-invariant.
+            def sorted_eval(params, mstate, points, labels, weights, mask):
+                points, labels, weights, mask, pos = _sort_batch_global(
+                    points, labels, weights, mask
+                )
+                out = smapped(params, mstate, points, labels, weights, mask)
+                if not gather:
+                    return out
+                packed, loss, w_sum, cm = out
+                packed = jnp.take_along_axis(packed, pos[..., None], axis=-2)
+                return packed, loss, w_sum, cm
+
+            return jax.jit(sorted_eval)
         return jax.jit(smapped)
 
     def inference_packed(self, state: TrainState, batch):
@@ -422,6 +470,30 @@ class Trainval:
             put(weights.astype(np.float32)),
             put(mask),
         )
+
+
+def _sort_batch_global(points, labels, weights, mask):
+    """Morton-sort every event of a GLOBAL batch (banded CP entry sort).
+
+    Same `ops.sfc.morton_order` as the single-device banded model's entry
+    permute — so the sorted point rows, and therefore every per-row value
+    downstream, are bitwise identical between the two paths. Runs on the
+    global (B, N, …) arrays OUTSIDE shard_map (XLA partitions the sort
+    and the permuting gathers across the mesh); labels/weights/mask are
+    permuted consistently so the masked loss and metrics are unchanged.
+
+    Returns (points, labels, weights, mask, pos) — ``pos`` is the inverse
+    permutation (original row j sits at sorted position pos[j]), used by
+    the eval path to unpermute gathered predictions for write-back.
+    """
+    order, pos = morton_order(points, mask)
+    return (
+        jnp.take_along_axis(points, order[..., None], axis=-2),
+        jnp.take_along_axis(labels, order, axis=-1),
+        jnp.take_along_axis(weights, order, axis=-1),
+        jnp.take_along_axis(mask, order, axis=-1),
+        pos,
+    )
 
 
 def _make_lr(cfg):

@@ -240,8 +240,10 @@ def test_knn_window_flag_validation():
         Config(knn_window=-1).validate()
     with pytest.raises(ValueError, match="KVALUE"):
         Config(knn_window=8, kvalue=20).validate()
-    with pytest.raises(ValueError, match="point_shards"):
-        Config(knn_window=64, point_shards=2).validate()
+    # banded + CP is legal when every shard is at least one window wide
+    Config(knn_window=64, point_shards=2, num_point=128).validate()
+    with pytest.raises(ValueError, match="points per shard"):
+        Config(knn_window=64, point_shards=4, num_point=128).validate()
 
 
 def test_knn_window_is_model_defining():
@@ -253,14 +255,16 @@ def test_knn_window_is_model_defining():
     assert diffs == {"knn_window": (0, 128)}
 
 
-def test_trainval_rejects_banded_with_context_parallel():
+def test_trainval_rejects_rdma_with_banded_cp():
+    """Banded CP (tests/test_banded_cp.py) exchanges halos, not ring
+    blocks — an explicit --ring_impl rdma must fail fast, not be ignored."""
     from dgcnn_tpu.train.trainval import Trainval
 
     cfg = Config(
         io_type="synthetic", minibatch_size=2, num_point=128,
-        knn_window=64, point_shards=2, num_devices=4,
+        knn_window=64, point_shards=2, num_devices=4, ring_impl="rdma",
     )
-    with pytest.raises(ValueError, match="knn_window"):
+    with pytest.raises(ValueError, match="halos"):
         Trainval(cfg)
 
 
