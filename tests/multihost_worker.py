@@ -73,7 +73,7 @@ if mode == "stoptest":
     print("RESULT:" + json.dumps({"pid": pid, "stopped": True}), flush=True)
     sys.exit(0)
 
-if mode == "cp":
+if mode in ("cp", "banded_cp"):
     # ---- D: context parallelism ACROSS the process boundary -------------
     # (data=2, points=2) mesh whose points pairs interleave one device
     # from each process, so the ring kNN / ring gather / BN-psum
@@ -81,6 +81,9 @@ if mode == "cp":
     # with make_array_from_callback: the cross-process point shards are
     # not contiguous per-process rows, which is what
     # make_array_from_process_local_data assumes.
+    # mode="banded_cp" runs the same topology through the banded halo
+    # path (--knn_window): the global entry Morton sort and the W-row
+    # halo ppermutes (kernels.halo_knn) cross the process boundary.
     from dgcnn_tpu.parallel.mesh import make_mesh
 
     devs = jax.devices()  # ordered proc0:0-3, proc1:4-7
@@ -88,6 +91,7 @@ if mode == "cp":
     mesh = make_mesh(4, num_point_shards=2, devices=order)
     cfg_cp = Config(
         command="train", iteration=3, point_shards=2,
+        knn_window=64 if mode == "banded_cp" else 0,
         **{**SMALL, "minibatch_size": 2},
     )
     tv = Trainval(cfg_cp, mesh=mesh)

@@ -219,3 +219,54 @@ def test_multihost_context_parallel_matches_single_process(tmp_path):
         state, metrics = tv.train_step(state, batch)
         ref.append(float(metrics["loss"]))
     np.testing.assert_allclose(outs[0]["losses"], ref, rtol=2e-5)
+
+
+def test_multihost_banded_cp_matches_single_process(tmp_path):
+    """Banded halo exchange ACROSS the process boundary: the same
+    interleaved (data=2, points=2) topology with --knn_window must
+    reproduce the single-process banded-CP loss trajectory — the global
+    entry Morton sort and the W-row halo ppermutes (kernels.halo_knn)
+    cross hosts here."""
+    import socket
+
+    with socket.socket() as _s:
+        _s.bind(("127.0.0.1", 0))
+        port = _s.getsockname()[1]
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", str(port), str(tmp_path),
+             "banded_cp"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=900)
+        assert p.returncode == 0, (
+            f"worker failed rc={p.returncode}\nstdout:\n{stdout}\n"
+            f"stderr:\n{stderr[-3000:]}"
+        )
+        line = [l for l in stdout.splitlines() if l.startswith("RESULT:")]
+        assert line, f"no RESULT line in:\n{stdout}"
+        outs.append(json.loads(line[0][len("RESULT:"):]))
+    np.testing.assert_allclose(outs[0]["losses"], outs[1]["losses"], rtol=1e-6)
+
+    # single-process reference: same topology and window on this
+    # process's own devices, same fixed batch
+    from dgcnn_tpu.parallel.mesh import make_mesh
+
+    cfg = Config(
+        command="train", iteration=3, point_shards=2, knn_window=64,
+        **{**SMALL, "minibatch_size": 2},
+    )
+    tv = Trainval(cfg, mesh=make_mesh(4, num_point_shards=2))
+    state = tv.initialize(in_dim=4)
+    io = SyntheticIO(num_events=2, num_point=256, seed=3).initialize()
+    batch = next(BucketBatcher(io, 2, num_point=256, shuffle=False).epoch())
+    ref = []
+    for _ in range(3):
+        state, metrics = tv.train_step(state, batch)
+        ref.append(float(metrics["loss"]))
+    np.testing.assert_allclose(outs[0]["losses"], ref, rtol=2e-5)
