@@ -122,8 +122,12 @@ def main():
     def gather_edge_max_grad(q, idx):
         return jax.grad(lambda q: gather_edge_max(q, idx).sum())(q)
 
-    timeit("gather+edge+max fwd (1 block)", gather_edge_max, feats, idx0)
-    timeit("gather+edge+max fwd+bwd (1 blk)", gather_edge_max_grad, feats, idx0)
+    # the standalone micro-path is un-remat'd: its fwd+bwd keeps the full
+    # (B, N, k, C) edge tensor, which OOMs HBM above ~256k points (the
+    # MODEL path remats it away) — skippable for huge-N step profiling
+    if os.environ.get("BENCH_SKIP_BLOCK", "0") != "1":
+        timeit("gather+edge+max fwd (1 block)", gather_edge_max, feats, idx0)
+        timeit("gather+edge+max fwd+bwd (1 blk)", gather_edge_max_grad, feats, idx0)
 
     timeit("6x kNN (graph builds only)", six_knn, points, mask)
     timeit("full forward (train mode)", fwd, state.params, state.model_state, points, mask)

@@ -178,6 +178,53 @@ def leg_knn_banded():
     out.update(
         {"banded_cross_mismatches": hard_c, "banded_cross_near_ties": near_c}
     )
+
+    # zero-trip-guard case ON HARDWARE: batch a second event whose few
+    # valid points all sort before this shard, so ITS chunks claim
+    # windows entirely left of the key array (t_end <= t0*block_t — the
+    # kernel must still run one banded-out tile pass to drain the
+    # pre-started DMA). The FIRST event's rows, produced by the same
+    # kernel instance's subsequent grid steps, must stay bitwise the
+    # oracle — a dangling DMA semaphore would corrupt them
+    # nondeterministically.
+    nv_tiny = n // 64
+    ms2 = jnp.concatenate(
+        [ms, jnp.asarray(np.arange(n)[None, :] < nv_tiny)], axis=0
+    )
+    xs2 = jnp.concatenate([xs, xs], axis=0)
+    nv2 = jnp.sum(ms2, axis=-1).astype(jnp.int32)
+    off2 = 2 * nl
+    idx_z, val_z = knn_pallas_banded_cross(
+        xs2[:, off2 : off2 + nl],
+        xs2[:, off2 - w : off2 + nl + w],
+        k,
+        ms2[:, off2 - w : off2 + nl + w],
+        window=w, q_base=off2, key_base=off2 - w, nvalid=nv2,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    mrow0 = np.asarray(ms[:, off2 : off2 + nl])  # event 0 only
+    hard_z, near_z = _split_mismatches(
+        np.asarray(xs),
+        np.where(
+            mrow0[..., None], np.asarray(idx_z[:1]),
+            np.asarray(idx_o[:, off2 : off2 + nl]),
+        ),
+        np.asarray(idx_o[:, off2 : off2 + nl]),
+        np.where(
+            mrow0[..., None], np.asarray(val_z[:1]),
+            np.asarray(val_o[:, off2 : off2 + nl]),
+        ),
+        np.asarray(val_o[:, off2 : off2 + nl]),
+        q_off=off2,
+    )
+    # the all-padded event's shard rows must all be flagged invalid
+    # (every candidate banded out -> -inf -> self-edge fallback)
+    zerotrip_valid_leak = int(np.asarray(val_z[1]).sum())
+    out.update({
+        "banded_zerotrip_mismatches": hard_z,
+        "banded_zerotrip_near_ties": near_z,
+        "banded_zerotrip_valid_leak": zerotrip_valid_leak,
+    })
     return out
 
 
@@ -314,6 +361,8 @@ def main():
         out["knn_mismatches"] == 0
         and out["banded_mismatches"] == 0
         and out["banded_cross_mismatches"] == 0
+        and out["banded_zerotrip_mismatches"] == 0
+        and out["banded_zerotrip_valid_leak"] == 0
         and out["rdma_mismatches"] == 0
         and out["export_max_abs_diff"] <= 1e-5
         and out["conv_loss_end"] < 0.7 * out["conv_loss_start"]

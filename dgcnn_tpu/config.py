@@ -206,21 +206,28 @@ class Config:
         if self.knn_window and self.point_shards > 1:
             # banded CP exchanges window-sized halos with the immediate
             # ring neighbors only (kernels.halo_knn), so every shard must
-            # be at least one window wide
-            for n in ((self.num_point,) if self.num_point else self.buckets or ()):
+            # be at least one window wide. Validate the PADDED event
+            # sizes the batcher actually produces (io.batching rounds
+            # every bucket up to the 128-point lane width), not the raw
+            # configured values.
+            from dgcnn_tpu.io.batching import _round_up
+
+            for raw in ((self.num_point,) if self.num_point else self.buckets or ()):
+                n = _round_up(int(raw))
                 if n % self.point_shards:
                     raise ValueError(
-                        f"padded event size {n} not divisible by "
+                        f"padded event size {n} (configured {raw}, rounded "
+                        f"to the 128-point lane width) not divisible by "
                         f"point_shards={self.point_shards}"
                     )
                 if self.knn_window > n // self.point_shards:
                     raise ValueError(
                         f"knn_window={self.knn_window} exceeds the local "
-                        f"shard size {n // self.point_shards} (= {n} points "
-                        f"/ {self.point_shards} shards): the halo-exchange "
-                        f"banded CP needs window <= points per shard. Use "
-                        f"fewer point shards, a smaller window, or the "
-                        f"exact ring (knn_window=0)."
+                        f"shard size {n // self.point_shards} (= padded "
+                        f"event size {n} / {self.point_shards} shards): "
+                        f"the halo-exchange banded CP needs window <= "
+                        f"points per shard. Use fewer point shards, a "
+                        f"smaller window, or the exact ring (knn_window=0)."
                     )
             if self.ring_impl == "rdma":
                 raise ValueError(

@@ -102,7 +102,10 @@ def halo_knn(
     off = (me * nl).astype(jnp.int32)
 
     if mask_shard is None:
-        mask_shard = jnp.ones(x_shard.shape[:-1], bool)
+        # derive from x_shard so the constant carries its varying mesh
+        # axes under shard_map (a fresh jnp.ones is unvarying and fails
+        # the default check_vma of the train/eval shard_maps)
+        mask_shard = jnp.ones_like(x_shard[..., 0], dtype=bool)
     nvalid = jax.lax.psum(
         jnp.sum(mask_shard, axis=-1).astype(jnp.int32), axis_name
     )  # (B,) global valid count per event

@@ -79,7 +79,15 @@ def _banded_kernel(
     first_ext = band_lo(q_base + q * qb, nv, window) - key_base
     t0 = jnp.clip(first_ext, 0, (n_tiles - 1) * block_t) // block_t
     t_end = band_lo(q_base + q * qb + qb - 1, nv, window) + window - key_base
-    t1 = jnp.clip((t_end + block_t - 1) // block_t, t0, n_tiles)
+    # floor t1 at t0 + 1, NOT t0: the first tile's DMA is started
+    # unconditionally below, so a zero-trip merge loop would leave it
+    # unawaited and its semaphore signal pending — corrupting the NEXT
+    # grid step's double-buffer waits on hardware. A garbage chunk (all
+    # queries padded, window left of the key array — halo path only)
+    # instead merges one fully-banded-out tile: every score is NEG_INF,
+    # the progress flag stays false after one pass, and the caller's
+    # self-edge fallback discards the rows.
+    t1 = jnp.clip((t_end + block_t - 1) // block_t, t0 + 1, n_tiles)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (qb, block_t), 1)
     kio = jax.lax.broadcasted_iota(jnp.int32, (k, qb), 0)

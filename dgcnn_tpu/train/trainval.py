@@ -112,6 +112,10 @@ class Trainval:
                     POINT_AXIS,
                     window=cfg.knn_window,
                     knn_precision=knn_prec,
+                    # honor --no_pallas (the kernel-bypass debug knob);
+                    # True still defers to the backend default (jnp core
+                    # on CPU meshes, fused kernel on TPU)
+                    use_pallas=None if cfg.use_pallas else False,
                 )
             else:
                 ops = cp_graph_ops(

@@ -330,3 +330,84 @@ def test_config_rejects_rdma_with_banded_cp():
     )
     with pytest.raises(ValueError, match="halos"):
         cfg.validate()
+
+
+def test_config_validates_padded_sizes_not_raw():
+    """The guard must check the PADDED event size the batcher actually
+    produces (io.batching rounds to the 128-point lane width): a raw
+    num_point that looks too small for the window can pad to a legal
+    size, and a raw one that looks divisible can pad to an indivisible
+    one."""
+    # raw 200 -> padded 256: shard 128 >= window 128, legal
+    Config(
+        minibatch_size=1, point_shards=2, num_point=200,
+        **{**SMALL, "knn_window": 128},
+    ).validate()
+    # raw 192 divides by 6, but padded 256 does not
+    with pytest.raises(ValueError, match="not divisible"):
+        Config(
+            minibatch_size=1, point_shards=6, num_point=192,
+            **{**SMALL, "knn_window": 32},
+        ).validate()
+
+
+def test_trainval_banded_cp_honors_no_pallas(monkeypatch):
+    """--no_pallas must reach the halo path's local scorer: the kernel
+    bypass is the debug knob for ruling out kernel bugs, so banded CP
+    silently re-enabling the fused kernel would defeat it."""
+    import dgcnn_tpu.kernels.halo_knn as hk
+    import dgcnn_tpu.parallel.context_parallel as cp_mod
+
+    seen = {}
+    real = hk.halo_knn
+
+    def spy(x, k, mask=None, **kw):
+        seen["use_pallas"] = kw.get("use_pallas")
+        return real(x, k, mask, **kw)
+
+    monkeypatch.setattr(hk, "halo_knn", spy)
+    ops = cp_mod.banded_cp_graph_ops(window=32, use_pallas=False)
+    mesh = make_mesh(num_devices=2, num_point_shards=2)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 128, 4), jnp.float32)
+    m = jnp.ones((1, 128), bool)
+    jax.jit(
+        jax.shard_map(
+            lambda xs, ms: ops.knn(xs, 8, ms),
+            mesh=mesh,
+            in_specs=(P(None, POINT_AXIS), P(None, POINT_AXIS)),
+            out_specs=(P(None, POINT_AXIS), P(None, POINT_AXIS)),
+        )
+    )(x, m)
+    assert seen["use_pallas"] is False
+
+
+def test_halo_knn_default_mask_under_vma_check():
+    """mask_shard=None must work inside a check_vma=True shard_map (the
+    derived all-ones mask has to carry x's varying mesh axes — a fresh
+    jnp.ones would fail the static vma check at trace time)."""
+    mesh = make_mesh(num_devices=4, num_point_shards=4)
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 256, 4), jnp.float32)
+    idx, valid = jax.jit(
+        jax.shard_map(
+            lambda xs: halo_knn(xs, 8, window=32, precision=HI),
+            mesh=mesh,
+            in_specs=P(None, POINT_AXIS),
+            out_specs=(P(None, POINT_AXIS), P(None, POINT_AXIS)),
+            check_vma=True,
+        )
+    )(x)
+    idx_o, valid_o = banded_knn_indices(x, 8, window=32, precision=HI)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_o))
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid_o))
+
+
+def test_halo_knn_all_padded_shard_does_not_corrupt_neighbors():
+    """An event whose valid points all sort into shard 0 leaves later
+    shards fully padded: their chunks claim clipped windows far left of
+    the key array (the kernel's zero-trip-guard case). Rows of OTHER
+    events and the valid shard must stay bitwise the oracle, padded rows
+    deterministic self-edges."""
+    # event 0 fully valid, event 1 only 40 of 512 valid
+    x, mask = _sorted_event(2, 512, 6, nvalid=[512, 40], seed=11)
+    _assert_matches_oracle(x, mask, 8, 64, 8)
+    _assert_matches_oracle(x, mask, 8, 64, 8, use_pallas=True)
