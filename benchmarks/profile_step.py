@@ -32,6 +32,8 @@ USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 KNN_EVERY = int(os.environ.get("BENCH_KNN_EVERY", 1))
 KNN_WINDOW = int(os.environ.get("BENCH_KNN_WINDOW", 0))
+PRECISION = os.environ.get("BENCH_PRECISION", "highest")  # or bfloat16
+BLOCK_IMPL = os.environ.get("BENCH_BLOCK_IMPL", "edge")  # reduced|fused
 ITERS = int(os.environ.get("BENCH_ITERS", 5))
 
 
@@ -64,6 +66,8 @@ def main():
         remat=REMAT,
         knn_every=KNN_EVERY,
         knn_window=KNN_WINDOW,
+        precision=PRECISION,
+        block_impl=BLOCK_IMPL,
     )
     tv = Trainval(cfg, mesh=make_mesh(1))
     state = tv.initialize(4)
@@ -130,6 +134,21 @@ def main():
         timeit("gather+edge+max fwd+bwd (1 blk)", gather_edge_max_grad, feats, idx0)
 
     timeit("6x kNN (graph builds only)", six_knn, points, mask)
+
+    if os.environ.get("BENCH_FWD_ONLY", "0") == "1":
+        # huge-N capability probe, eval mode only: train-mode BN needs
+        # the per-block edge statistics (bigger temps), and the
+        # backward's edge-tensor temps OOM long before the forward does
+        # (see BASELINE.md)
+        @jax.jit
+        def fwd_eval(params, mstate, x, m):
+            logits, _ = model.apply(params, mstate, x, m, train=False)
+            return logits
+
+        timeit("full forward (eval mode)", fwd_eval,
+               state.params, state.model_state, points, mask)
+        return
+
     timeit("full forward (train mode)", fwd, state.params, state.model_state, points, mask)
 
     @jax.jit
