@@ -113,14 +113,18 @@ class Config:
     # [M], "possibly 2"). 1 = the factorized production path; >=2 adds
     # per-edge conv+BN+relu stages before max-aggregation
     block_convs: int = 1
-    # EdgeConv block implementation: "edge" (default) is the classic
-    # materializing form — XLA fuses it into one traversal and it
-    # measures fastest; "reduced" never materializes the (B,N,k,D) edge
-    # tensor (selection commutes with the monotone BN+relu chain;
-    # statistics factor over the edge sum — see
-    # ops.edge.edgeconv_block_reduced). Bitwise-identical predictions in
-    # eval mode; an implementation knob like use_pallas
-    block_impl: str = "edge"
+    # EdgeConv block implementation: "auto" (default) silently picks the
+    # fastest measured form for the config — "fused" for f32 depth-1
+    # blocks (slot-loop custom-VJP backward: 9-15% faster train steps
+    # than "edge" across regimes AND O(N·C) backward memory, the 512k
+    # single-chip-training enabler — BASELINE.md), "edge" otherwise.
+    # "edge" is the classic materializing form (XLA fuses it into one
+    # traversal); "reduced" never materializes the (B,N,k,D) edge tensor
+    # (selection commutes with the monotone BN+relu chain; statistics
+    # factor over the edge sum — see ops.edge.edgeconv_block_reduced).
+    # All forms give bitwise-identical predictions in eval mode; an
+    # implementation knob like use_pallas
+    block_impl: str = "auto"
 
     def __post_init__(self):
         if self.edge_filters is None:
@@ -248,7 +252,7 @@ class Config:
             "crop_mode": ("random", "stride"),
             "optimizer": ("adam", "adamw", "sgd", "momentum"),
             "ring_impl": ("ppermute", "rdma"),
-            "block_impl": ("edge", "reduced", "fused"),
+            "block_impl": ("auto", "edge", "reduced", "fused"),
         }
         # argparse `choices` only guards CLI-supplied values; --config
         # files and programmatic Configs land here instead (a typo like
@@ -383,13 +387,16 @@ def _add_common_flags(p: argparse.ArgumentParser):
                    "(1 = factorized production path; >=2 adds per-edge "
                    "conv+BN+relu stages before max — paper-style blocks; "
                    "model-defining)")
-    g.add_argument("--block_impl", default="edge",
-                   choices=["edge", "reduced", "fused"],
-                   help="EdgeConv block implementation: edge = classic "
+    g.add_argument("--block_impl", default="auto",
+                   choices=["auto", "edge", "reduced", "fused"],
+                   help="EdgeConv block implementation: auto = fastest "
+                   "measured form for the config (fused for f32 depth-1 "
+                   "blocks, edge otherwise); edge = classic "
                    "materializing form; reduced = never materializes "
                    "the (B,N,k,D) edge tensor (bitwise-identical eval "
                    "predictions); fused = reduced forward + analytic "
-                   "custom VJP (one-scatter backward)")
+                   "custom VJP (slot-loop scatter backward, O(N*C) "
+                   "memory)")
 
 
 def build_parser(defaults: dict | None = None) -> argparse.ArgumentParser:

@@ -68,7 +68,13 @@ class ModelSpec:
     #                     an opt-in speed/quality knob, since the graph
     #                     build is the dominant cost at large N (see
     #                     BASELINE.md for the measured accuracy delta)
-    block_impl: str = "edge"  # EdgeConv block implementation:
+    block_impl: str = "auto"  # EdgeConv block implementation:
+    #   "auto" (default): silently resolves to "fused" when the
+    #     restructured algebra applies (f32 compute, depth-1 blocks) and
+    #     to "edge" otherwise — the fastest measured form per regime
+    #     (interleaved A/B, BASELINE.md: fused is 9% faster at 1x16384
+    #     and 15% at 4x4096, and its O(N·C) backward memory is what lets
+    #     512k-point events train on one chip).
     #   "edge": the classic materializing form (gather + broadcast-add +
     #     BN + relu + max) — XLA fuses it into one traversal.
     #   "reduced": never materializes the (B,N,k,D) edge tensor —
@@ -77,9 +83,9 @@ class ModelSpec:
     #     edgeconv_block_reduced). Bitwise identical to "edge" in eval
     #     mode; training statistics differ only by f32 summation order.
     #   "fused": "reduced" forward + analytic custom VJP — backward does
-    #     zero gathers and exactly one scatter-add (ops.edge.
-    #     edgeconv_block_fused). Falls back to "reduced" under context
-    #     parallelism (custom VJP is local-gather only).
+    #     zero gathers and k slot-wise row-scatters in O(N·C) memory
+    #     (ops.edge.edgeconv_block_fused). Falls back to "reduced" under
+    #     context parallelism (custom VJP is local-gather only).
     #   An implementation knob like use_pallas, NOT model-defining.
     #   That non-model-defining contract rests on the bitwise-equal-eval
     #   property, which only holds in f32: under compute_dtype=bfloat16
@@ -175,22 +181,29 @@ def make_model(
     _gather = gather_fn or gather_neighbors
     _pool = pool_fn or _masked_max_points
 
-    if spec.block_impl != "edge" and (
-        spec.compute_dtype != "float32" or spec.block_convs > 1
-    ):
-        # the restructured forms require f32 and depth-1 blocks (see the
-        # block_impl / block_convs notes on ModelSpec); say so once at
-        # build time instead of silently running the edge path
-        reason = (
-            f"compute_dtype={spec.compute_dtype!r}"
-            if spec.compute_dtype != "float32"
-            else f"block_convs={spec.block_convs}"
-        )
-        print(
-            f"WARNING: block_impl={spec.block_impl!r} requires f32 "
-            f"depth-1 blocks; {reason} forces the 'edge' implementation",
-            flush=True,
-        )
+    restructurable = spec.compute_dtype == "float32" and spec.block_convs == 1
+    if spec.block_impl == "auto":
+        # silently pick the fastest measured form for this config (see
+        # the ModelSpec notes; eval predictions are bitwise identical
+        # either way, so auto-resolution is not model-defining)
+        block_impl = "fused" if restructurable else "edge"
+    else:
+        block_impl = spec.block_impl
+        if block_impl != "edge" and not restructurable:
+            # an EXPLICITLY requested restructured form needs f32 and
+            # depth-1 blocks (see the block_impl / block_convs notes on
+            # ModelSpec); say so once at build time instead of silently
+            # running the edge path
+            reason = (
+                f"compute_dtype={spec.compute_dtype!r}"
+                if spec.compute_dtype != "float32"
+                else f"block_convs={spec.block_convs}"
+            )
+            print(
+                f"WARNING: block_impl={spec.block_impl!r} requires f32 "
+                f"depth-1 blocks; {reason} forces the 'edge' implementation",
+                flush=True,
+            )
 
     def init(rng, in_dim: int):
         # keys/block (conv + extra convs + optional proj) + head feat/mlp/out
@@ -303,7 +316,7 @@ def make_model(
                 cdtype == jnp.float32 and spec.block_convs == 1
             )
             if (
-                spec.block_impl == "fused"
+                block_impl == "fused"
                 and gather_fn is None
                 and use_restructured
             ):
@@ -322,7 +335,7 @@ def make_model(
                     momentum=spec.bn_momentum,
                     axis_name=bn_axis,
                 )
-            elif spec.block_impl in ("reduced", "fused") and use_restructured:
+            elif block_impl in ("reduced", "fused") and use_restructured:
                 # algebraically fused: the (B,N,k,C_out) edge tensor never
                 # exists — per-query gathered reductions replace the
                 # materialize+BN+relu+max chain (bitwise equal in eval

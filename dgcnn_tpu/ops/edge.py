@@ -223,9 +223,12 @@ def gathered_stats(p: jax.Array, q: jax.Array, idx: jax.Array, w):
     as argmax/argmin indices in forward, the per-edge cotangent is built
     elementwise (winner one-hots + broadcast statistic terms — their
     cotangents are per-channel scalars), and everything collapses into
-    exactly ONE scatter-add of C+1 channels (the extra channel carries
-    the masked in-degree, which routes the destination-side ``2·q·ds2a``
-    term). Zero gathers in backward.
+    k row-scatter-adds of C+1 channels, one per neighbor slot (the extra
+    channel carries the masked in-degree, which routes the
+    destination-side ``2·q·ds2a`` term). Zero gathers in backward, and —
+    because the slots accumulate sequentially through a fori_loop carry —
+    O(N·C) peak backward memory: no (..., N, k, C) tensor ever exists,
+    in EITHER direction.
 
     Convention: max/min ties route the full cotangent to the first
     winning slot, where AD splits it evenly — totals agree whenever tied
@@ -268,22 +271,48 @@ def _gathered_stats_bwd(res, cot):
     dmx, dmn, ds1p, ds2a, ds2b = cot
     c = q.shape[-1]
     n = q.shape[-2]
-    slot = jax.lax.broadcasted_iota(
-        jnp.int32, idx.shape + (c,), idx.ndim - 1
-    )
-    # winner one-hots + broadcast statistic terms, fused into the scatter
-    upd = jnp.where(slot == ax[..., None, :], dmx[..., None, :], 0.0)
-    upd = upd + jnp.where(slot == an[..., None, :], dmn[..., None, :], 0.0)
+    k = idx.shape[-1]
+    lead = idx.shape[:-2]
+    bl = int(np.prod(lead)) if lead else 1
+    # per-edge cotangent = winner one-hots + broadcast statistic terms,
+    # accumulated ONE NEIGHBOR SLOT AT A TIME: a fori_loop of k row-
+    # scatters of (..., N, C+1) updates. Same scatter-add totals as one
+    # big scatter of the (..., N, k, C+1) update tensor (addition order
+    # differs — unspecified for scatter-add either way), but the peak
+    # backward memory is O(N·C), not O(N·k·C): at 512k points the
+    # edge-tensor-sized update (with its padding) was the single-chip
+    # training OOM (BASELINE.md long-context frontier), while (N, C+1)
+    # temps are ~130 MB. The carry dependence serializes the slots, so
+    # the scheduler can never hold more than one slot's temps.
     stat = ds1p + ds2b * p  # (..., N, C): per-edge stats cotangent
     wrow = (
         jnp.ones(p.shape[:-1], jnp.float32) if w is None else w
-    )[..., None, None]  # (..., N, 1, 1)
-    upd = upd + stat[..., None, :] * wrow
-    ones_ch = jnp.broadcast_to(wrow, idx.shape + (1,))
-    scat = _scatter_rows(jnp.concatenate([upd, ones_ch], axis=-1), idx, n)
+    )  # (..., N)
+    base = (stat * wrow[..., None]).reshape(bl, n, c)
+    dmx2, dmn2 = dmx.reshape(bl, n, c), dmn.reshape(bl, n, c)
+    ax2, an2 = ax.reshape(bl, n, c), an.reshape(bl, n, c)
+    idx2 = idx.reshape(bl, n, k)
+    wcol = wrow.reshape(bl, n)[..., None]  # (bl, N, 1)
+    brow = jnp.arange(bl)[:, None]
+
+    def one_slot(s, acc):
+        upd = base + jnp.where(ax2 == s, dmx2, 0.0)
+        upd = upd + jnp.where(an2 == s, dmn2, 0.0)
+        upd = jnp.concatenate([upd, wcol], axis=-1)
+        rows = jax.lax.dynamic_index_in_dim(idx2, s, axis=-1)  # (bl, N, 1)
+        return acc.at[brow, rows[..., 0]].add(upd, mode="promise_in_bounds")
+
+    # derive the zero carry from varying operands (a fresh jnp.zeros is
+    # unvarying under shard_map and fails the scan-vma carry check once
+    # the loop body adds varying updates)
+    acc0 = jnp.concatenate([base, wcol], axis=-1) * 0.0
+    scat = jax.lax.fori_loop(0, k, one_slot, acc0).reshape(
+        *lead, n, c + 1
+    )
     # destination-side q² term: 2·q·ds2a, weighted by masked in-degree
+    # (the extra scattered channel)
     dq = scat[..., :c] + 2.0 * q * ds2a * scat[..., c:]
-    dp = (ds2b * sq) * wrow[..., 0, :]
+    dp = (ds2b * sq) * wrow[..., None]
     f0 = jax.dtypes.float0
     return (
         dp.astype(p.dtype),
@@ -311,7 +340,9 @@ def edgeconv_block_fused(
 ):
     """`edgeconv_block_reduced` with the `gathered_stats` custom-VJP
     core: identical forward semantics, and a backward that does zero
-    gathers and exactly one scatter-add. All BN/normalize math stays
+    gathers and k slot-wise row-scatters with O(N·C) peak memory (the
+    block form that trains huge single-chip events — see BASELINE.md's
+    long-context frontier). All BN/normalize math stays
     outside the custom VJP as plain (..., N, C)-sized AD (so shard_map's
     replication inference sees the statistic psums). Local-gather only —
     context parallelism (a `gather_fn` override) uses the AD paths.
