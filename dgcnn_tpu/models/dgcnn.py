@@ -125,6 +125,9 @@ class Model(NamedTuple):
     init: Callable  # (rng, in_dim) -> (params, state)
     apply: Callable  # (params, state, points, mask, train=..., rng=...) -> (logits, new_state)
     spec: ModelSpec
+    # the EdgeConv implementation the build resolved ("auto" and the
+    # f32/depth-1/CP constraints applied) — what apply will actually run
+    block_impl: str = "edge"
 
 
 def _masked_max_points(x, mask):
@@ -185,8 +188,14 @@ def make_model(
     if spec.block_impl == "auto":
         # silently pick the fastest measured form for this config (see
         # the ModelSpec notes; eval predictions are bitwise identical
-        # either way, so auto-resolution is not model-defining)
-        block_impl = "fused" if restructurable else "edge"
+        # either way, so auto-resolution is not model-defining). Under
+        # context parallelism (a gather_fn override) the fused custom
+        # VJP does not apply and the fall-through would be "reduced" —
+        # whose backward has the LARGEST edge-tensor memory (BASELINE.md:
+        # 37.2 G vs edge's 20.3 G at 512k) — so auto keeps "edge" there.
+        block_impl = (
+            "fused" if restructurable and gather_fn is None else "edge"
+        )
     else:
         block_impl = spec.block_impl
         if block_impl != "edge" and not restructurable:
@@ -320,10 +329,10 @@ def make_model(
                 and gather_fn is None
                 and use_restructured
             ):
-                # "reduced" forward + analytic custom VJP: backward is one
-                # scatter-add, zero gathers (local gather only — with a
-                # gather_fn override we fall through to "reduced", whose
-                # AD handles ring gathers)
+                # "reduced" forward + analytic custom VJP: backward is k
+                # slot-wise row-scatters in O(N·C) memory, zero gathers
+                # (local gather only — with a gather_fn override we fall
+                # through to "reduced", whose AD handles ring gathers)
                 y, bn_s = edgeconv_block_fused(
                     p_feat,
                     q_feat,
@@ -478,4 +487,10 @@ def make_model(
         # losses/metrics always see f32 logits
         return logits.astype(jnp.float32), new_state
 
-    return Model(init=init, apply=apply, spec=spec)
+    # what the dispatch in block_fn will actually run, for callers/tests
+    effective_impl = block_impl
+    if not restructurable:
+        effective_impl = "edge"
+    elif effective_impl == "fused" and gather_fn is not None:
+        effective_impl = "reduced"  # explicit fused under CP falls through
+    return Model(init=init, apply=apply, spec=spec, block_impl=effective_impl)

@@ -176,29 +176,6 @@ def edgeconv_block_reduced(
     return y, new_state
 
 
-def _scatter_rows(updates, idx, n: int):
-    """Transpose of `gather_neighbors`: row ``updates[..., i, s, :]`` is
-    added into row ``idx[..., i, s]`` of a zeros ``(..., n, C)`` result.
-
-    Written as an explicit batched scatter-add (the same XLA op the
-    gather's AD would emit). NOT via `jax.linear_transpose` — transposing
-    a closure inside a custom-VJP bwd miscomputes cotangent varying-mesh-
-    axes under shard_map (observed: silently wrong gradients on a CPU
-    mesh; a standalone repro raises a vma type mismatch)."""
-    lead = updates.shape[:-3]
-    nk = updates.shape[-3] * updates.shape[-2]
-    c = updates.shape[-1]
-    bl = int(np.prod(lead)) if lead else 1
-    u = updates.reshape(bl, nk, c)
-    fi = idx.reshape(bl, nk)
-    out = (
-        jnp.zeros((bl, n, c), updates.dtype)
-        .at[jnp.arange(bl)[:, None], fi]
-        .add(u, mode="promise_in_bounds")
-    )
-    return out.reshape(*lead, n, c)
-
-
 @jax.custom_vjp
 def gathered_stats(p: jax.Array, q: jax.Array, idx: jax.Array, w):
     """EdgeConv reduction core with a one-scatter custom VJP.
@@ -284,6 +261,11 @@ def _gathered_stats_bwd(res, cot):
     # training OOM (BASELINE.md long-context frontier), while (N, C+1)
     # temps are ~130 MB. The carry dependence serializes the slots, so
     # the scheduler can never hold more than one slot's temps.
+    # The scatter is written as an explicit .at[].add, NOT via
+    # jax.linear_transpose of the gather: transposing a closure inside a
+    # custom-VJP bwd miscomputes cotangent varying-mesh-axes under
+    # shard_map (observed: silently wrong gradients on a CPU mesh; a
+    # standalone repro raises a vma type mismatch).
     stat = ds1p + ds2b * p  # (..., N, C): per-edge stats cotangent
     wrow = (
         jnp.ones(p.shape[:-1], jnp.float32) if w is None else w
@@ -302,10 +284,14 @@ def _gathered_stats_bwd(res, cot):
         rows = jax.lax.dynamic_index_in_dim(idx2, s, axis=-1)  # (bl, N, 1)
         return acc.at[brow, rows[..., 0]].add(upd, mode="promise_in_bounds")
 
-    # derive the zero carry from varying operands (a fresh jnp.zeros is
+    # derive the zero carry from a varying operand (a fresh jnp.zeros is
     # unvarying under shard_map and fails the scan-vma carry check once
-    # the loop body adds varying updates)
-    acc0 = jnp.concatenate([base, wcol], axis=-1) * 0.0
+    # the loop body adds varying updates). Derive from idx — int32, so
+    # always finite — NOT by multiplying float operands by 0.0, which
+    # would seed the accumulator with NaN when a cotangent is inf/NaN
+    # and misattribute the poison to rows whose own updates are finite.
+    zf = (idx2[..., :1] * 0).astype(jnp.float32)  # (bl, N, 1) varying 0s
+    acc0 = jnp.broadcast_to(zf, (bl, n, c + 1))
     scat = jax.lax.fori_loop(0, k, one_slot, acc0).reshape(
         *lead, n, c + 1
     )

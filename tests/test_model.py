@@ -241,3 +241,43 @@ def test_block_impl_fallback_warns(capsys):
 
     get_model("dgcnn", spec)
     assert capsys.readouterr().out == ""
+
+
+def test_block_impl_auto_resolution(capsys):
+    """The 'auto' default resolves silently to the fastest measured form
+    for the config (BASELINE.md interleaved A/B): fused for f32 depth-1
+    local-gather models; edge under bf16, stacked blocks, OR a gather_fn
+    override (context parallelism — where the fused VJP doesn't apply
+    and the reduced fall-through has the worst backward memory)."""
+    import dataclasses
+
+    from dgcnn_tpu.models import ModelSpec, get_model
+
+    spec = ModelSpec(
+        num_class=2, k=5, edge_filters=(12,), head_feat_dim=8,
+        head_mlp=(8,), block_impl="auto",
+    )
+    assert get_model("dgcnn", spec).block_impl == "fused"
+    assert (
+        get_model(
+            "dgcnn", dataclasses.replace(spec, compute_dtype="bfloat16")
+        ).block_impl
+        == "edge"
+    )
+    assert (
+        get_model("dgcnn", dataclasses.replace(spec, block_convs=2)).block_impl
+        == "edge"
+    )
+    gather = lambda v, i: v  # any CP-style override  # noqa: E731
+    assert get_model("dgcnn", spec, gather_fn=gather).block_impl == "edge"
+    # explicit fused under CP keeps the documented reduced fall-through
+    assert (
+        get_model(
+            "dgcnn",
+            dataclasses.replace(spec, block_impl="fused"),
+            gather_fn=gather,
+        ).block_impl
+        == "reduced"
+    )
+    # auto never warns — resolution is silent by contract
+    assert "WARNING" not in capsys.readouterr().out
