@@ -142,3 +142,21 @@ def test_bench_serving_smoke(monkeypatch, capsys):
 
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["value"] > 0 and line["batches"] == 3
+
+
+def test_ab_block_impl_smoke(monkeypatch, capsys):
+    """ab_block_impl.py (the interleaved A/B driver behind the block_impl
+    default decision) must stay runnable on CPU at a tiny config."""
+    monkeypatch.setenv("BENCH_N", "256")
+    monkeypatch.setenv("BENCH_B", "1")
+    monkeypatch.setenv("BENCH_ITERS", "2")
+    sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
+    try:
+        import ab_block_impl
+
+        importlib.reload(ab_block_impl)
+        ab_block_impl.main()
+    finally:
+        sys.path.remove(os.path.join(ROOT, "benchmarks"))
+    out = capsys.readouterr().out
+    assert "edge" in out and "fused" in out and "median" in out
