@@ -33,7 +33,7 @@ REMAT = os.environ.get("BENCH_REMAT", "0") == "1"
 KNN_EVERY = int(os.environ.get("BENCH_KNN_EVERY", 1))
 KNN_WINDOW = int(os.environ.get("BENCH_KNN_WINDOW", 0))
 PRECISION = os.environ.get("BENCH_PRECISION", "highest")  # or bfloat16
-BLOCK_IMPL = os.environ.get("BENCH_BLOCK_IMPL", "edge")  # reduced|fused
+BLOCK_IMPL = os.environ.get("BENCH_BLOCK_IMPL", "auto")  # edge|reduced|fused
 ITERS = int(os.environ.get("BENCH_ITERS", 5))
 
 

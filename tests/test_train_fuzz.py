@@ -46,7 +46,7 @@ def test_train_step_finite_under_fuzz(case):
         # banded windows must stay >= kvalue (flag validation); 0 = exact
         knn_window=int(rng.choice([0, 0, max(k, 32), n])),
         precision=str(rng.choice(["highest", "bfloat16"])),
-        block_impl=str(rng.choice(["edge", "reduced", "fused"])),
+        block_impl=str(rng.choice(["auto", "edge", "reduced", "fused"])),
         block_convs=int(rng.choice([1, 1, 2])),
         seed=case,
     )
@@ -64,5 +64,48 @@ def test_train_step_finite_under_fuzz(case):
         # not poison params — checked below)
         assert loss == 0, metrics
     assert 0.0 <= float(metrics["acc"]) <= 1.0
+    for leaf in __import__("jax").tree_util.tree_leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all(), "non-finite params"
+
+
+@pytest.mark.parametrize("case", range(2))
+def test_train_step_finite_under_cp_fuzz(case):
+    """Context-parallel fuzz: random masks/hyperparams through the
+    sharded step on a (data x points) mesh, exact-ring AND banded-halo
+    graph builds (knn_window 0 vs >0), must stay finite."""
+    from dgcnn_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(300 + case)
+    data, points = (2, 2) if case == 0 else (1, 4)
+    n = 256
+    k = int(rng.choice([4, 8]))
+    cfg = Config(
+        model_name=str(rng.choice(["dgcnn", "residual-dgcnn"])),
+        num_class=2,
+        kvalue=k,
+        edge_filters=(8, 8),
+        head_feat_dim=16,
+        head_mlp=(16,),
+        minibatch_size=data,
+        num_point=n,
+        point_shards=points,
+        num_devices=data * points,
+        use_pallas=False,
+        dropout=float(rng.choice([0.0, 0.3])),
+        remat=bool(rng.randint(2)),
+        knn_every=int(rng.choice([1, 2])),
+        # 0 = exact ring CP; 32/64 = banded halo CP (w <= n/points)
+        knn_window=int(rng.choice([0, 32, 64])),
+        precision="highest",
+        seed=case,
+    )
+    cfg.validate()
+    tv = Trainval(cfg, mesh=make_mesh(data * points, num_point_shards=points))
+    state = tv.initialize(4)
+    batch = _random_batch(rng, data, n, cfg.num_class)
+    for _ in range(2):
+        state, metrics = tv.train_step(state, batch)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss) and loss > 0, metrics
     for leaf in __import__("jax").tree_util.tree_leaves(state.params):
         assert np.isfinite(np.asarray(leaf)).all(), "non-finite params"
