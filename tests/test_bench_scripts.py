@@ -160,3 +160,18 @@ def test_ab_block_impl_smoke(monkeypatch, capsys):
         sys.path.remove(os.path.join(ROOT, "benchmarks"))
     out = capsys.readouterr().out
     assert "edge" in out and "fused" in out and "median" in out
+
+
+def test_sweep_banded_tiles_smoke(monkeypatch, capsys):
+    monkeypatch.setenv("BENCH_N", "512")
+    monkeypatch.setenv("BENCH_W", "128")
+    monkeypatch.setenv("BENCH_ITERS", "1")
+    sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
+    try:
+        import sweep_banded_tiles
+
+        importlib.reload(sweep_banded_tiles)
+        sweep_banded_tiles.main()
+    finally:
+        sys.path.remove(os.path.join(ROOT, "benchmarks"))
+    assert "ps/pair" in capsys.readouterr().out
