@@ -164,6 +164,33 @@ def halo_knn(
     return idx.astype(jnp.int32), valid
 
 
+def halo_extend_values(values_shard, *, window: int, axis_name: str = POINT_AXIS):
+    """Public halo exchange: (B, N_local, C) → (B, N_local + 2W, C).
+
+    Differentiable (plain `ppermute`s + concatenate — AD transposes the
+    permutes, so gradients scattered into halo rows flow back to their
+    owning shards automatically). Together with `halo_localize_idx` this
+    decomposes `halo_gather` into *exchange once, then gather locally* —
+    the decomposition the fused EdgeConv block's local-gather custom VJP
+    needs to run under banded context parallelism.
+    """
+    return _halo_extend(values_shard, int(window), axis_name)
+
+
+def halo_localize_idx(idx_global, *, window: int, axis_name: str = POINT_AXIS):
+    """Global sorted positions → rows of the halo-extended local array.
+
+    ``idx_global`` is (B, N_local, k) from `halo_knn`; every position it
+    can produce lies in ``[off − W, off + N_local + W)`` (clipping is a
+    belt-and-braces guard, same as `halo_gather` always applied).
+    """
+    nl = idx_global.shape[-2]
+    w = int(window)
+    me = jax.lax.axis_index(axis_name)
+    off = (me * nl).astype(jnp.int32)
+    return jnp.clip(idx_global - (off - w), 0, nl + 2 * w - 1)
+
+
 def halo_gather(
     values_shard,
     idx_global,
@@ -188,10 +215,8 @@ def halo_gather(
     """
     nl = values_shard.shape[-2]
     w = int(window)
-    me = jax.lax.axis_index(axis_name)
-    off = (me * nl).astype(jnp.int32)
     ext = _halo_extend(values_shard, w, axis_name)  # (B, NL + 2w, C)
-    local = jnp.clip(idx_global - (off - w), 0, nl + 2 * w - 1)
+    local = halo_localize_idx(idx_global, window=w, axis_name=axis_name)
     b, n_loc, k = local.shape
     got = jnp.take_along_axis(
         ext, local.reshape(b, n_loc * k)[..., None], axis=-2

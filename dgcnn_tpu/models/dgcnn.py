@@ -84,8 +84,10 @@ class ModelSpec:
     #     mode; training statistics differ only by f32 summation order.
     #   "fused": "reduced" forward + analytic custom VJP — backward does
     #     zero gathers and k slot-wise row-scatters in O(N·C) memory
-    #     (ops.edge.edgeconv_block_fused). Falls back to "reduced" under
-    #     context parallelism (custom VJP is local-gather only).
+    #     (ops.edge.edgeconv_block_fused). Applies to local gathers AND
+    #     to banded CP's halo gather (which decomposes into exchange +
+    #     local gather); falls back to "reduced" under the exact-ring
+    #     context parallelism only.
     #   An implementation knob like use_pallas, NOT model-defining.
     #   That non-model-defining contract rests on the bitwise-equal-eval
     #   property, which only holds in f32: under compute_dtype=bfloat16
@@ -147,6 +149,8 @@ def make_model(
     precision=None,
     gather_fn=None,
     pool_fn=None,
+    gather_extend_fn=None,
+    gather_localize_fn=None,
     pre_sorted: bool = False,
 ) -> Model:
     """Build the init/apply pair for a DGCNN segmentation model.
@@ -162,6 +166,16 @@ def make_model(
         take-along-axis gather.
       pool_fn: ``(x, mask) -> (B, C)`` masked global max pool — a
         pmax-reducing variant under context parallelism.
+      gather_extend_fn / gather_localize_fn: optional decomposition of
+        ``gather_fn`` into *exchange once, gather locally*:
+        ``extend(values) -> values_ext`` (differentiable) and
+        ``localize(idx) -> rows into values_ext``, such that
+        ``gather_fn(v, idx) == gather_neighbors(extend(v), localize(idx))``
+        bitwise (banded CP's halo exchange satisfies this —
+        `parallel.context_parallel.banded_cp_graph_ops`). When provided,
+        the fused block's O(N·C)-memory custom VJP applies under the
+        sharded gather, so ``block_impl="auto"`` resolves to "fused"
+        there too.
       pre_sorted: banded models (``knn_window > 0``) normally Morton-sort
         at entry and unpermute logits at exit; True means the CALLER
         already sorted the whole batch globally (banded context
@@ -185,16 +199,23 @@ def make_model(
     _pool = pool_fn or _masked_max_points
 
     restructurable = spec.compute_dtype == "float32" and spec.block_convs == 1
+    # the fused custom VJP needs gathers it can transpose locally: either
+    # the default local gather, or a gather that DECOMPOSES into a
+    # differentiable exchange + local gather (banded CP's halo pair)
+    fused_gather_ok = gather_fn is None or (
+        gather_extend_fn is not None and gather_localize_fn is not None
+    )
     if spec.block_impl == "auto":
         # silently pick the fastest measured form for this config (see
         # the ModelSpec notes; eval predictions are bitwise identical
         # either way, so auto-resolution is not model-defining). Under
-        # context parallelism (a gather_fn override) the fused custom
-        # VJP does not apply and the fall-through would be "reduced" —
-        # whose backward has the LARGEST edge-tensor memory (BASELINE.md:
-        # 37.2 G vs edge's 20.3 G at 512k) — so auto keeps "edge" there.
+        # the exact-ring context parallelism (a gather_fn override with
+        # no local decomposition) the fused custom VJP does not apply
+        # and the fall-through would be "reduced" — whose backward has
+        # the LARGEST edge-tensor memory (BASELINE.md: 37.2 G vs edge's
+        # 20.3 G at 512k) — so auto keeps "edge" there.
         block_impl = (
-            "fused" if restructurable and gather_fn is None else "edge"
+            "fused" if restructurable and fused_gather_ok else "edge"
         )
     else:
         block_impl = spec.block_impl
@@ -326,19 +347,28 @@ def make_model(
             )
             if (
                 block_impl == "fused"
-                and gather_fn is None
+                and fused_gather_ok
                 and use_restructured
             ):
                 # "reduced" forward + analytic custom VJP: backward is k
-                # slot-wise row-scatters in O(N·C) memory, zero gathers
-                # (local gather only — with a gather_fn override we fall
-                # through to "reduced", whose AD handles ring gathers)
+                # slot-wise row-scatters in O(N·C) memory, zero gathers.
+                # Local gathers only — but banded CP's halo gather
+                # decomposes into a differentiable exchange + local
+                # gather, so the same VJP applies to the halo-extended
+                # neighbor operand (halo-row gradients ride the
+                # transposed ppermutes home). The exact ring (no local
+                # decomposition) falls through to "reduced"/edge AD.
+                if gather_fn is None:
+                    q_in, idx_in = q_feat, idx
+                else:
+                    q_in = gather_extend_fn(q_feat)
+                    idx_in = gather_localize_fn(idx)
                 y, bn_s = edgeconv_block_fused(
                     p_feat,
-                    q_feat,
+                    q_in,
                     blk_p["bn"],
                     blk_s,
-                    idx,
+                    idx_in,
                     edge_mask,
                     train=train,
                     momentum=spec.bn_momentum,
@@ -491,6 +521,7 @@ def make_model(
     effective_impl = block_impl
     if not restructurable:
         effective_impl = "edge"
-    elif effective_impl == "fused" and gather_fn is not None:
-        effective_impl = "reduced"  # explicit fused under CP falls through
+    elif effective_impl == "fused" and not fused_gather_ok:
+        # explicit fused under the exact ring (no local decomposition)
+        effective_impl = "reduced"
     return Model(init=init, apply=apply, spec=spec, block_impl=effective_impl)

@@ -214,6 +214,13 @@ def gathered_stats(p: jax.Array, q: jax.Array, idx: jax.Array, w):
     treated as a NON-differentiable validity weight (its cotangent is
     hard zero): callers pass a bool-mask cast, never learned weights.
 
+    ``q`` may carry MORE rows than ``p``/``idx``: under banded context
+    parallelism the caller passes the halo-extended neighbor operand
+    (``N_local + 2W`` rows) with localized indices, and the backward
+    scatters into the full extended row space — the halo rows' gradients
+    then ride the transposed ppermutes of the (differentiable) halo
+    exchange back to their owning shards.
+
     Reference behavior covered: the gather + max-aggregation core of
     SURVEY.md §0.6 steps 2-4, per §3.3's "fuse gather+edge-build+MLP+max
     into a second on-chip pass" (discharged by restructuring: this fused
@@ -247,7 +254,11 @@ def _gathered_stats_bwd(res, cot):
     p, q, idx, w, ax, an, sq = res
     dmx, dmn, ds1p, ds2a, ds2b = cot
     c = q.shape[-1]
-    n = q.shape[-2]
+    nq = q.shape[-2]  # key rows (may exceed query rows: halo-extended q
+    #                   under banded context parallelism carries 2W halo
+    #                   rows whose gradients AD routes back through the
+    #                   transposed ppermutes of the halo exchange)
+    ni = idx.shape[-2]  # query rows
     k = idx.shape[-1]
     lead = idx.shape[:-2]
     bl = int(np.prod(lead)) if lead else 1
@@ -270,11 +281,11 @@ def _gathered_stats_bwd(res, cot):
     wrow = (
         jnp.ones(p.shape[:-1], jnp.float32) if w is None else w
     )  # (..., N)
-    base = (stat * wrow[..., None]).reshape(bl, n, c)
-    dmx2, dmn2 = dmx.reshape(bl, n, c), dmn.reshape(bl, n, c)
-    ax2, an2 = ax.reshape(bl, n, c), an.reshape(bl, n, c)
-    idx2 = idx.reshape(bl, n, k)
-    wcol = wrow.reshape(bl, n)[..., None]  # (bl, N, 1)
+    base = (stat * wrow[..., None]).reshape(bl, ni, c)
+    dmx2, dmn2 = dmx.reshape(bl, ni, c), dmn.reshape(bl, ni, c)
+    ax2, an2 = ax.reshape(bl, ni, c), an.reshape(bl, ni, c)
+    idx2 = idx.reshape(bl, ni, k)
+    wcol = wrow.reshape(bl, ni)[..., None]  # (bl, N, 1)
     brow = jnp.arange(bl)[:, None]
 
     def one_slot(s, acc):
@@ -290,10 +301,10 @@ def _gathered_stats_bwd(res, cot):
     # always finite — NOT by multiplying float operands by 0.0, which
     # would seed the accumulator with NaN when a cotangent is inf/NaN
     # and misattribute the poison to rows whose own updates are finite.
-    zf = (idx2[..., :1] * 0).astype(jnp.float32)  # (bl, N, 1) varying 0s
-    acc0 = jnp.broadcast_to(zf, (bl, n, c + 1))
+    zf = (idx2[..., :1, :1] * 0).astype(jnp.float32)  # (bl, 1, 1) varying 0s
+    acc0 = jnp.broadcast_to(zf, (bl, nq, c + 1))
     scat = jax.lax.fori_loop(0, k, one_slot, acc0).reshape(
-        *lead, n, c + 1
+        *lead, nq, c + 1
     )
     # destination-side q² term: 2·q·ds2a, weighted by masked in-degree
     # (the extra scattered channel)
@@ -330,8 +341,12 @@ def edgeconv_block_fused(
     block form that trains huge single-chip events — see BASELINE.md's
     long-context frontier). All BN/normalize math stays
     outside the custom VJP as plain (..., N, C)-sized AD (so shard_map's
-    replication inference sees the statistic psums). Local-gather only —
-    context parallelism (a `gather_fn` override) uses the AD paths.
+    replication inference sees the statistic psums). LOCAL gathers only —
+    but a parallelism whose gather decomposes into *exchange once, gather
+    locally* still qualifies: banded CP passes the halo-extended ``q``
+    (more rows than ``p``) with localized ``idx`` and lets AD of the halo
+    exchange route the extended-row gradients home. The exact ring CP
+    (whole-gather only) uses the AD paths of the other impls.
 
     Returns ``(y float32, new_bn_state)``.
     """

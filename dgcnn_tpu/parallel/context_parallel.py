@@ -33,6 +33,14 @@ class GraphOps(NamedTuple):
     knn: Callable
     gather: Callable
     pool: Callable
+    # optional decomposition of `gather` into *exchange once, gather
+    # locally*: ``extend(values) -> values_ext`` (differentiable) and
+    # ``localize(idx) -> rows into values_ext``. When present, the fused
+    # EdgeConv block's local-gather custom VJP (O(N·C) backward memory)
+    # applies under this parallelism; None means only whole-gather AD
+    # paths work (the exact ring, whose neighbors can live anywhere).
+    extend: Callable | None = None
+    localize: Callable | None = None
 
 
 def cp_masked_max_pool(x, mask, axis_name: str = POINT_AXIS):
@@ -136,7 +144,12 @@ def banded_cp_graph_ops(
     TPU backends, False elsewhere (the jnp core is the bitwise
     banded-oracle reference and what CPU-mesh tests exercise).
     """
-    from dgcnn_tpu.kernels.halo_knn import halo_gather, halo_knn
+    from dgcnn_tpu.kernels.halo_knn import (
+        halo_extend_values,
+        halo_gather,
+        halo_knn,
+        halo_localize_idx,
+    )
 
     if knn_precision is None:
         knn_precision = jax.lax.Precision.HIGHEST
@@ -151,4 +164,13 @@ def banded_cp_graph_ops(
             values, idx, window=window, axis_name=axis_name
         ),
         pool=lambda x, mask: cp_masked_max_pool(x, mask, axis_name),
+        # halo gathers decompose into exchange + local gather, so the
+        # fused block's O(N·C) backward applies under banded CP (the
+        # halo-row gradients ride the transposed ppermutes of `extend`)
+        extend=lambda values: halo_extend_values(
+            values, window=window, axis_name=axis_name
+        ),
+        localize=lambda idx: halo_localize_idx(
+            idx, window=window, axis_name=axis_name
+        ),
     )

@@ -312,6 +312,85 @@ def test_banded_cp_train_inference_writeback_loop(tmp_path):
         )
 
 
+def test_banded_cp_auto_resolves_fused():
+    """Banded CP's halo gather decomposes into exchange + local gather, so
+    the auto block default resolves to the fused O(N·C)-backward impl —
+    the same form that unlocks huge single-chip events (BASELINE.md) —
+    while the exact ring (no local decomposition) stays on edge."""
+    cfg = Config(minibatch_size=1, point_shards=4, **SMALL)
+    tv = Trainval(cfg, mesh=make_mesh(4, num_point_shards=4))
+    assert tv.model.block_impl == "fused"
+    cfg_ring = Config(minibatch_size=1, point_shards=4, **{**SMALL, "knn_window": 0})
+    tv_ring = Trainval(cfg_ring, mesh=make_mesh(4, num_point_shards=4))
+    assert tv_ring.model.block_impl == "edge"
+
+
+def test_banded_cp_fused_matches_edge_impl():
+    """block_impl stays a non-model-defining knob under banded CP: fused
+    (the auto default) vs edge train to float tolerance on the same
+    batch, and eval scores/predictions of one trained state are BITWISE
+    equal across the two impls (valid rows)."""
+    mesh = make_mesh(8, num_point_shards=4)
+    cfg_f = Config(minibatch_size=2, point_shards=4, **SMALL)
+    cfg_e = Config(
+        minibatch_size=2, point_shards=4, **{**SMALL, "block_impl": "edge"}
+    )
+    tv_f = Trainval(cfg_f, mesh=mesh)
+    tv_e = Trainval(cfg_e, mesh=mesh)
+    assert tv_f.model.block_impl == "fused"
+    assert tv_e.model.block_impl == "edge"
+
+    # padded batch: 200-point events in a 256 bucket
+    io = SyntheticIO(num_events=2, num_point=200, seed=9).initialize()
+    batch = next(BucketBatcher(io, 2, buckets=(256,), shuffle=False).epoch())
+    assert batch.mask.sum() < batch.mask.size
+
+    s_f = tv_f.initialize(4)
+    s_e = tv_e.initialize(4)
+    for _ in range(3):
+        s_f, m_f = tv_f.train_step(s_f, batch)
+        s_e, m_e = tv_e.train_step(s_e, batch)
+        np.testing.assert_allclose(
+            float(m_f["loss"]), float(m_e["loss"]), rtol=1e-4
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_f.params), jax.tree_util.tree_leaves(s_e.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+    # eval of ONE state under both impls: bitwise (the block_impl contract)
+    sc_f, pr_f, _ = tv_f.inference(s_f, batch)
+    sc_e, pr_e, _ = tv_e.inference(jax.device_put(s_f, tv_e._repl_sharding), batch)
+    m = np.asarray(batch.mask)
+    np.testing.assert_array_equal(np.asarray(sc_f)[m], np.asarray(sc_e)[m])
+    np.testing.assert_array_equal(np.asarray(pr_f)[m], np.asarray(pr_e)[m])
+
+
+def test_banded_cp_fused_grads_match_whole_gather_ad():
+    """The halo-decomposed fused custom VJP against plain AD of the same
+    loss built on `halo_gather` (whole-gather reduced impl): gradients
+    agree to float tolerance on a ragged sharded batch."""
+    mesh = make_mesh(4, num_point_shards=4)
+    cfg_f = Config(minibatch_size=1, point_shards=4, **SMALL)
+    cfg_r = Config(
+        minibatch_size=1, point_shards=4, **{**SMALL, "block_impl": "reduced"}
+    )
+    tv_f = Trainval(cfg_f, mesh=mesh)
+    tv_r = Trainval(cfg_r, mesh=mesh)
+    assert tv_f.model.block_impl == "fused"
+    assert tv_r.model.block_impl == "reduced"
+    io = SyntheticIO(num_events=1, num_point=200, seed=10).initialize()
+    batch = next(BucketBatcher(io, 1, buckets=(256,), shuffle=False).epoch())
+    # same cfg.seed -> identical init params (train_step donates its
+    # state, so each trainer needs its own)
+    s_f, _ = tv_f.train_step(tv_f.initialize(4), batch)
+    s_r, _ = tv_r.train_step(tv_r.initialize(4), batch)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_f.params), jax.tree_util.tree_leaves(s_r.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 # ------------------------------------------------------------- config guards
 
 def test_config_rejects_window_wider_than_shard():

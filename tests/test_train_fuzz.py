@@ -97,6 +97,10 @@ def test_train_step_finite_under_cp_fuzz(case):
         # 0 = exact ring CP; 32/64 = banded halo CP (w <= n/points)
         knn_window=int(rng.choice([0, 32, 64])),
         precision="highest",
+        # auto = fused under banded CP (halo-decomposed gather), edge
+        # under the exact ring; explicit fused falls through to reduced
+        # on the exact ring — all four must stay finite either way
+        block_impl=str(rng.choice(["auto", "edge", "reduced", "fused"])),
         seed=case,
     )
     cfg.validate()
