@@ -85,9 +85,10 @@ class ModelSpec:
     #   "fused": "reduced" forward + analytic custom VJP — backward does
     #     zero gathers and k slot-wise row-scatters in O(N·C) memory
     #     (ops.edge.edgeconv_block_fused). Applies to local gathers AND
-    #     to banded CP's halo gather (which decomposes into exchange +
-    #     local gather); falls back to "reduced" under the exact-ring
-    #     context parallelism only.
+    #     to both CP gathers, which decompose into exchange + local
+    #     gather (banded: halo ppermutes; exact ring: one tiled
+    #     all_gather); only a custom gather_fn with no decomposition
+    #     falls back to "reduced".
     #   An implementation knob like use_pallas, NOT model-defining.
     #   That non-model-defining contract rests on the bitwise-equal-eval
     #   property, which only holds in f32: under compute_dtype=bfloat16
@@ -208,12 +209,15 @@ def make_model(
     if spec.block_impl == "auto":
         # silently pick the fastest measured form for this config (see
         # the ModelSpec notes; eval predictions are bitwise identical
-        # either way, so auto-resolution is not model-defining). Under
-        # the exact-ring context parallelism (a gather_fn override with
-        # no local decomposition) the fused custom VJP does not apply
-        # and the fall-through would be "reduced" — whose backward has
-        # the LARGEST edge-tensor memory (BASELINE.md: 37.2 G vs edge's
-        # 20.3 G at 512k) — so auto keeps "edge" there.
+        # either way, so auto-resolution is not model-defining). Both
+        # shipped CP gathers decompose (halo exchange / tiled
+        # all_gather), so auto is fused under CP too — its O(rows·C)
+        # backward strictly undercuts the edge/reduced impls'
+        # (N_local, k, C) edge-tensor temps there (k = 20 vs D ≤ 8
+        # extension rows). A gather_fn override WITHOUT a decomposition
+        # (custom callers) keeps "edge": the fall-through would be
+        # "reduced", whose backward has the LARGEST edge-tensor memory
+        # (BASELINE.md: 37.2 G vs edge's 20.3 G at 512k).
         block_impl = (
             "fused" if restructurable and fused_gather_ok else "edge"
         )
@@ -352,12 +356,13 @@ def make_model(
             ):
                 # "reduced" forward + analytic custom VJP: backward is k
                 # slot-wise row-scatters in O(N·C) memory, zero gathers.
-                # Local gathers only — but banded CP's halo gather
-                # decomposes into a differentiable exchange + local
-                # gather, so the same VJP applies to the halo-extended
-                # neighbor operand (halo-row gradients ride the
-                # transposed ppermutes home). The exact ring (no local
-                # decomposition) falls through to "reduced"/edge AD.
+                # Local gathers only — but both CP gathers decompose
+                # into a differentiable exchange + local gather (banded:
+                # halo ppermutes; exact ring: tiled all_gather), so the
+                # same VJP applies to the extended neighbor operand and
+                # the extension rows' gradients ride the transposed
+                # collectives home. Only a custom gather_fn with no
+                # decomposition falls through to "reduced"/edge AD.
                 if gather_fn is None:
                     q_in, idx_in = q_feat, idx
                 else:

@@ -344,9 +344,9 @@ def edgeconv_block_fused(
     replication inference sees the statistic psums). LOCAL gathers only —
     but a parallelism whose gather decomposes into *exchange once, gather
     locally* still qualifies: banded CP passes the halo-extended ``q``
-    (more rows than ``p``) with localized ``idx`` and lets AD of the halo
-    exchange route the extended-row gradients home. The exact ring CP
-    (whole-gather only) uses the AD paths of the other impls.
+    (more rows than ``p``), the exact ring the all_gathered ``q``, each
+    with matching indices, and AD of the exchange collective routes the
+    extended-row gradients home.
 
     Returns ``(y float32, new_bn_state)``.
     """

@@ -117,6 +117,18 @@ def cp_graph_ops(
         knn=knn,
         gather=lambda values, idx: ring_gather(values, idx, axis_name=axis_name),
         pool=lambda x, mask: cp_masked_max_pool(x, mask, axis_name),
+        # exact-ring decomposition for the fused block's local-gather
+        # custom VJP: 'exchange' = one tiled all_gather of the neighbor
+        # operand (same total ICI bytes as ring_gather's D−1 hops; the
+        # transpose AD inserts is the matching reduce-scatter), indices
+        # are already global rows of the gathered array. The extended
+        # operand is (B, N_global, C) — SMALLER than the edge/reduced
+        # backward's (B, N_local, k, C) edge-tensor temps whenever the
+        # shard count D < k (D ≤ 8 vs k = 20 at the flagship config).
+        extend=lambda values: jax.lax.all_gather(
+            values, axis_name, axis=-2, tiled=True
+        ),
+        localize=lambda idx: idx,
     )
 
 

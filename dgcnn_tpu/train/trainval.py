@@ -127,9 +127,10 @@ class Trainval:
             knn_fn = knn_fn or ops.knn
             extra_ops = {"gather_fn": ops.gather, "pool_fn": ops.pool}
             if ops.extend is not None:
-                # halo gathers decompose into exchange + local gather:
-                # lets the fused block's O(N·C) backward run under
-                # banded CP (models.make_model resolves auto -> fused)
+                # both CP gathers decompose into exchange + local gather
+                # (banded: halo ppermutes; exact ring: tiled all_gather):
+                # lets the fused block's O(rows·C) backward run under CP
+                # (models.make_model resolves auto -> fused)
                 extra_ops["gather_extend_fn"] = ops.extend
                 extra_ops["gather_localize_fn"] = ops.localize
         elif knn_fn is None and cfg.use_pallas:

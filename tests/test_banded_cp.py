@@ -313,16 +313,16 @@ def test_banded_cp_train_inference_writeback_loop(tmp_path):
 
 
 def test_banded_cp_auto_resolves_fused():
-    """Banded CP's halo gather decomposes into exchange + local gather, so
-    the auto block default resolves to the fused O(N·C)-backward impl —
-    the same form that unlocks huge single-chip events (BASELINE.md) —
-    while the exact ring (no local decomposition) stays on edge."""
+    """Both CP gathers decompose into exchange + local gather (halo
+    ppermutes / tiled all_gather), so the auto block default resolves to
+    the fused O(rows·C)-backward impl under banded AND exact-ring CP —
+    the same form that unlocks huge single-chip events (BASELINE.md)."""
     cfg = Config(minibatch_size=1, point_shards=4, **SMALL)
     tv = Trainval(cfg, mesh=make_mesh(4, num_point_shards=4))
     assert tv.model.block_impl == "fused"
     cfg_ring = Config(minibatch_size=1, point_shards=4, **{**SMALL, "knn_window": 0})
     tv_ring = Trainval(cfg_ring, mesh=make_mesh(4, num_point_shards=4))
-    assert tv_ring.model.block_impl == "edge"
+    assert tv_ring.model.block_impl == "fused"
 
 
 def test_banded_cp_fused_matches_edge_impl():

@@ -79,6 +79,47 @@ def test_cp_inference_matches_single_device():
     )
 
 
+def test_cp_fused_matches_edge_impl():
+    """The exact ring's gather decomposes into one tiled all_gather +
+    local gather, so auto resolves to the fused O(rows·C)-backward impl
+    there too. block_impl must stay non-model-defining: fused (auto) vs
+    edge train to float tolerance, and eval scores of one state are
+    BITWISE equal across impls (valid rows)."""
+    mesh = make_mesh(8, num_point_shards=4)
+    cfg_f = Config(minibatch_size=2, point_shards=4, **SMALL)
+    cfg_e = Config(
+        minibatch_size=2, point_shards=4, block_impl="edge", **SMALL
+    )
+    tv_f = Trainval(cfg_f, mesh=mesh)
+    tv_e = Trainval(cfg_e, mesh=mesh)
+    assert tv_f.model.block_impl == "fused"
+    assert tv_e.model.block_impl == "edge"
+
+    # padded batch: ragged events in a 256 bucket
+    io = SyntheticIO(num_events=2, num_point=200, seed=11).initialize()
+    batch = next(BucketBatcher(io, 2, buckets=(256,), shuffle=False).epoch())
+    assert batch.mask.sum() < batch.mask.size
+
+    s_f = tv_f.initialize(4)
+    s_e = tv_e.initialize(4)
+    for _ in range(3):
+        s_f, m_f = tv_f.train_step(s_f, batch)
+        s_e, m_e = tv_e.train_step(s_e, batch)
+        np.testing.assert_allclose(
+            float(m_f["loss"]), float(m_e["loss"]), rtol=1e-4
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_f.params), jax.tree_util.tree_leaves(s_e.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+    sc_f, pr_f, _ = tv_f.inference(s_f, batch)
+    sc_e, pr_e, _ = tv_e.inference(jax.device_put(s_f, tv_e._repl_sharding), batch)
+    m = np.asarray(batch.mask)
+    np.testing.assert_array_equal(np.asarray(sc_f)[m], np.asarray(sc_e)[m])
+    np.testing.assert_array_equal(np.asarray(pr_f)[m], np.asarray(pr_e)[m])
+
+
 def test_cp_variable_length_masked():
     """Ragged events under CP: padding must stay inert across shards."""
     cfg = Config(minibatch_size=1, point_shards=8, **SMALL)
