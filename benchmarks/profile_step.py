@@ -34,6 +34,7 @@ KNN_EVERY = int(os.environ.get("BENCH_KNN_EVERY", 1))
 KNN_WINDOW = int(os.environ.get("BENCH_KNN_WINDOW", 0))
 PRECISION = os.environ.get("BENCH_PRECISION", "highest")  # or bfloat16
 BLOCK_IMPL = os.environ.get("BENCH_BLOCK_IMPL", "auto")  # edge|reduced|fused
+HEAD_FACTORIZED = os.environ.get("BENCH_HEAD_FACTORIZED", "0") == "1"
 ITERS = int(os.environ.get("BENCH_ITERS", 5))
 
 
@@ -68,6 +69,7 @@ def main():
         knn_window=KNN_WINDOW,
         precision=PRECISION,
         block_impl=BLOCK_IMPL,
+        head_factorized=HEAD_FACTORIZED,
     )
     tv = Trainval(cfg, mesh=make_mesh(1))
     state = tv.initialize(4)

@@ -113,6 +113,14 @@ class Config:
     # [M], "possibly 2"). 1 = the factorized production path; >=2 adds
     # per-edge conv+BN+relu stages before max-aggregation
     block_convs: int = 1
+    # factorize the first head-MLP dense over the [agg, pooled-global]
+    # concat (agg @ W_a + broadcast(g @ W_g)): the (B, N, sumC + feat)
+    # concat never exists and the pooled rows are multiplied once per
+    # event. Measurably NOT bitwise vs the concat form, so MODEL-DEFINING
+    # (inference/export adopt it from the checkpoint; param shapes are
+    # unchanged either way). The opt-in that fits 1M-point f32 training
+    # on one chip (BASELINE.md long-context frontier).
+    head_factorized: bool = False
     # EdgeConv block implementation: "auto" (default) silently picks the
     # fastest measured form for the config — "fused" for f32 depth-1
     # blocks (slot-loop custom-VJP backward: 9-15% faster train steps
@@ -155,6 +163,7 @@ class Config:
             knn_window=self.knn_window,
             block_impl=self.block_impl,
             block_convs=self.block_convs,
+            head_factorized=self.head_factorized,
         )
 
     def validate(self):
@@ -243,6 +252,12 @@ class Config:
         if self.block_convs < 1:
             raise ValueError(
                 f"block_convs must be >= 1, got {self.block_convs}"
+            )
+        if self.head_factorized and self.global_pool and not self.head_mlp:
+            raise ValueError(
+                "head_factorized needs at least one head_mlp layer to "
+                "factorize (the output dense would otherwise consume the "
+                "concat directly)"
             )
         enums = {
             "precision": ("default", "highest", "bfloat16"),
@@ -387,6 +402,13 @@ def _add_common_flags(p: argparse.ArgumentParser):
                    "(1 = factorized production path; >=2 adds per-edge "
                    "conv+BN+relu stages before max — paper-style blocks; "
                    "model-defining)")
+    g.add_argument("--head_factorized", action="store_true",
+                   help="factorize the first head-MLP dense over the "
+                   "[agg, pooled-global] concat (the concat tensor never "
+                   "exists; pooled rows multiplied once per event). NOT "
+                   "bitwise vs the concat form -> model-defining "
+                   "(adopted from checkpoints). Fits 1M-point f32 "
+                   "training on one chip")
     g.add_argument("--block_impl", default="auto",
                    choices=["auto", "edge", "reduced", "fused"],
                    help="EdgeConv block implementation: auto = fastest "

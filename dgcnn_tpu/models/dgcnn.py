@@ -110,6 +110,20 @@ class ModelSpec:
     #   from the checkpoint. Accuracy/recall measured in BASELINE.md and
     #   benchmarks/probe_banded.py.
 
+    head_factorized: bool = False  # factorize the first head-MLP dense
+    #   over the [agg, pooled-global] concat: agg @ W_a + (g @ W_g)
+    #   broadcast — the (B, N, sumC + head_feat_dim) concat tensor never
+    #   exists, and the pooled-global rows are multiplied once per EVENT
+    #   instead of once per point (~2.7× fewer first-layer MACs at the
+    #   flagship widths). The split contraction is measurably NOT
+    #   bitwise vs the concat form (BASELINE.md long-context frontier:
+    #   max diff ~3e-5 on TPU over random operands), so unlike
+    #   block_impl this is MODEL-DEFINING: inference/export adopt it
+    #   from the checkpoint (param shapes are unchanged — the same W is
+    #   split at apply time — so checkpoints stay byte-compatible either
+    #   way). Opt-in: the lever that fits million-point f32 training on
+    #   ONE chip, where banded CP (which needs ≥ 2 devices) cannot help.
+
     block_convs: int = 1  # stacked shared-MLP convs per EdgeConv block.
     #   SURVEY.md §0.6 step 3 tags the reference's per-block depth [M]
     #   ("possibly 2 stacked conv layers per block"); 1 matches the
@@ -491,10 +505,19 @@ def make_model(
         )
         new_state["head"]["feat"] = feat_s
 
+        factorize_head = spec.global_pool and spec.head_factorized
         if spec.global_pool:
-            g = _pool(feat, mask)  # (B, head_feat_dim)
-            g = jnp.broadcast_to(g[..., None, :], agg.shape[:-1] + g.shape[-1:])
-            h = jnp.concatenate([agg, g], axis=-1)
+            g_vec = _pool(feat, mask)  # (B, head_feat_dim)
+            if factorize_head:
+                # the first head-MLP dense consumes agg and the pooled
+                # global separately (see ModelSpec.head_factorized):
+                # no (B, N, sumC + head_feat_dim) concat is ever built
+                h = agg
+            else:
+                g = jnp.broadcast_to(
+                    g_vec[..., None, :], agg.shape[:-1] + g_vec.shape[-1:]
+                )
+                h = jnp.concatenate([agg, g], axis=-1)
         else:
             h = feat
 
@@ -504,11 +527,39 @@ def make_model(
             else iter([None] * len(params["head"]["mlp"]))
         )
         new_state["head"]["mlp"] = []
-        for p, s in zip(params["head"]["mlp"], state["head"]["mlp"]):
-            h, s2 = conv_bn_apply(
-                p, s, h, mask, train=train, momentum=spec.bn_momentum,
-                precision=precision, axis_name=bn_axis, dtype=cdtype,
-            )
+        for li, (p, s) in enumerate(
+            zip(params["head"]["mlp"], state["head"]["mlp"])
+        ):
+            if li == 0 and factorize_head:
+                # same W as the concat form, split at the agg boundary:
+                # h @ [Wa; Wg] = agg @ Wa + g @ Wg, with the per-event
+                # g @ Wg computed once and broadcast over points
+                ca = h.shape[-1]
+                w = p["w"].astype(cdtype)
+                pre = jnp.einsum(
+                    "...nc,cd->...nd", h.astype(cdtype), w[:ca],
+                    precision=precision,
+                ) + jnp.einsum(
+                    "...c,cd->...d", g_vec.astype(cdtype), w[ca:],
+                    precision=precision,
+                )[..., None, :]
+                y_dtype = pre.dtype
+                h, s2 = batch_norm_apply(
+                    {"scale": p["bn"]["scale"], "bias": p["bn"]["bias"]},
+                    s,
+                    pre,
+                    mask,
+                    train=train,
+                    momentum=spec.bn_momentum,
+                    axis_name=bn_axis,
+                    out_dtype=jnp.float32,
+                )
+                h = jax.nn.relu(h).astype(y_dtype)
+            else:
+                h, s2 = conv_bn_apply(
+                    p, s, h, mask, train=train, momentum=spec.bn_momentum,
+                    precision=precision, axis_name=bn_axis, dtype=cdtype,
+                )
             h = dropout(next(keys), h, spec.dropout, train=train)
             new_state["head"]["mlp"].append(s2)
 

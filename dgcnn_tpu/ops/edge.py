@@ -229,14 +229,75 @@ def gathered_stats(p: jax.Array, q: jax.Array, idx: jax.Array, w):
     return _gathered_stats_fwd(p, q, idx, w)[0]
 
 
+# edge tensors (elements of the would-be (..., N, k, C) gather) at or
+# above this size stream the forward one neighbor slot at a time instead
+# of one fused gather traversal: XLA fuses the small-N traversal into its
+# six reductions, but under remat the recomputed gather feeding six
+# consumers MATERIALIZES — measured 10 G (half of it lane padding, C=64
+# of a 128 lane) at N=1M, the binding tensor of the million-point f32
+# step once the head concat is factorized (BASELINE.md). 2^27 puts the
+# 131k+ remat regimes on the streamed path and leaves the 16k/4×4096
+# headline regimes on the fused traversal.
+SLOT_STREAM_ELEMS = 2**27
+
+
+def _fwd_reductions(q, idx):
+    """max/argmax/min/argmin + per-query neighbor sums of ``g = q[idx]``.
+
+    Dense form for small edge tensors (one gather traversal, fused by
+    XLA); slot-streamed fori_loop with O(N·C) carries above
+    `SLOT_STREAM_ELEMS`. max/min/argmax/argmin are BITWISE identical
+    between the two (max is exact; strict-compare updates keep the first
+    winning slot, `jnp.argmax`'s tie rule) — only the f32 addition order
+    of the sums differs, the usual non-model-defining reassociation
+    class. Caveat: a NaN appearing at slot > 0 does not propagate into
+    the streamed max/min (strict compares are False), unlike the dense
+    reduce — only reachable on already-diverged activations.
+    """
+    k = idx.shape[-1]
+    c = q.shape[-1]
+    ni = idx.shape[-2]
+    if ni * k * c < SLOT_STREAM_ELEMS:
+        g = gather_neighbors(q, idx)  # fused into the reductions below
+        mx = jnp.max(g, axis=-2)
+        ax = jnp.argmax(g, axis=-2).astype(jnp.int32)
+        mn = jnp.min(g, axis=-2)
+        an = jnp.argmin(g, axis=-2).astype(jnp.int32)
+        sq = jnp.sum(g, axis=-2)
+        sq2 = jnp.sum(jnp.square(g), axis=-2)
+        return mx, ax, mn, an, sq, sq2
+
+    def slot(s):
+        rows = jax.lax.dynamic_index_in_dim(idx, s, axis=-1)  # (..., N, 1)
+        return jnp.take_along_axis(q, rows, axis=-2)  # (..., N, C)
+
+    g0 = slot(0)
+    # int32 slot indices derived from idx so the carries hold the varying
+    # mesh axes under shard_map (same trick as the backward's zero carry)
+    z = jnp.broadcast_to((idx[..., :1] * 0).astype(jnp.int32), g0.shape)
+
+    def body(s, carry):
+        mx, ax, mn, an, sq, sq2 = carry
+        g = slot(s)
+        gt = g > mx
+        lt = g < mn
+        return (
+            jnp.where(gt, g, mx),
+            jnp.where(gt, s, ax),
+            jnp.where(lt, g, mn),
+            jnp.where(lt, s, an),
+            sq + g,
+            sq2 + jnp.square(g),
+        )
+
+    mx, ax, mn, an, sq, sq2 = jax.lax.fori_loop(
+        1, k, body, (g0, z, g0, z, g0, jnp.square(g0))
+    )
+    return mx, ax, mn, an, sq, sq2
+
+
 def _gathered_stats_fwd(p, q, idx, w):
-    g = gather_neighbors(q, idx)  # fused into the reductions below
-    mx = jnp.max(g, axis=-2)
-    ax = jnp.argmax(g, axis=-2).astype(jnp.int32)
-    mn = jnp.min(g, axis=-2)
-    an = jnp.argmin(g, axis=-2).astype(jnp.int32)
-    sq = jnp.sum(g, axis=-2)
-    sq2 = jnp.sum(jnp.square(g), axis=-2)
+    mx, ax, mn, an, sq, sq2 = _fwd_reductions(q, idx)
     axes = tuple(range(p.ndim - 1))
     if w is None:
         s1p = jnp.sum(sq, axis=axes)

@@ -145,7 +145,7 @@ def restore_subtrees(path: str, templates: dict, payload: dict | None = None):
 MODEL_FLAGS = (
     "model_name", "num_class", "kvalue", "edge_filters",
     "head_feat_dim", "head_mlp", "global_pool", "knn_every",
-    "block_convs", "knn_window",
+    "block_convs", "knn_window", "head_factorized",
 )
 
 

@@ -330,3 +330,57 @@ def test_fused_block_under_remat():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-6
         )
+
+
+def test_slot_streamed_forward_matches_dense(monkeypatch):
+    """Above SLOT_STREAM_ELEMS the fused forward streams one neighbor
+    slot at a time (the 1M-point remat fix — BASELINE.md): max/argmax/
+    min/argmin must be BITWISE the dense traversal's (first-winner ties
+    included), sums equal up to f32 reassociation, and the full fused
+    block must keep matching AD of the materializing path."""
+    import dgcnn_tpu.ops.edge as edge_mod
+    from dgcnn_tpu.ops.edge import edgeconv_block_fused
+
+    rng = np.random.RandomState(17)
+    b, nq, n, k, c = 2, 96, 64, 7, 5  # extended q: more rows than queries
+    q = jnp.asarray(rng.randn(b, nq, c), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, nq, (b, n, k)), jnp.int32)
+    idx = idx.at[:, :, 3].set(idx[:, :, 1])  # duplicate slots force ties
+
+    dense = edge_mod._fwd_reductions(q, idx)
+    monkeypatch.setattr(edge_mod, "SLOT_STREAM_ELEMS", 1)
+    stream = edge_mod._fwd_reductions(q, idx)
+    for name, d, s in zip(("mx", "ax", "mn", "an"), dense[:4], stream[:4]):
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(s), err_msg=name)
+    for name, d, s in zip(("sq", "sq2"), dense[4:], stream[4:]):
+        np.testing.assert_allclose(
+            np.asarray(d), np.asarray(s), rtol=1e-6, err_msg=name
+        )
+
+    # whole block, streaming forced: output/state/grads still match the
+    # AD reference (the backward consumes the streamed residuals)
+    p, qb, bnp, bn_state, bidx, mask = _block_fixture(seed=23)
+    y_ref, st_ref = _block_edge_reference(
+        p, qb, bnp, bn_state, bidx, mask, True
+    )
+    y_new, st_new = edgeconv_block_fused(
+        p, qb, bnp, bn_state, bidx, mask, train=True
+    )
+    np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_ref), atol=1e-5)
+
+    def loss_ref(p, qv):
+        y, _ = _block_edge_reference(p, qv, bnp, bn_state, bidx, mask, True)
+        return jnp.mean(jnp.square(y))
+
+    def loss_new(p, qv):
+        y, _ = edgeconv_block_fused(
+            p, qv, bnp, bn_state, bidx, mask, train=True
+        )
+        return jnp.mean(jnp.square(y))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(p, qb)
+    g_new = jax.grad(loss_new, argnums=(0, 1))(p, qb)
+    for a, b_ in zip(g_ref, g_new):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-6
+        )
