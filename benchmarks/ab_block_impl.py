@@ -9,6 +9,10 @@ steps A,B,A,B,... and reports per-impl medians.
 Env: BENCH_N (default 16384), BENCH_B (1), BENCH_IMPLS (edge,fused),
 BENCH_ITERS (12 per impl), BENCH_REMAT (0), BENCH_KNN_WINDOW (0),
 BENCH_KNN_EVERY (1).
+
+An impl entry may carry a `+hf` suffix (e.g. `auto+hf`) to set
+head_factorized for that arm — measures what the model-defining head
+opt-in buys OUTSIDE the memory-bound frontier regimes.
 """
 
 from __future__ import annotations
@@ -40,11 +44,13 @@ def main():
     batch = next(BucketBatcher(io, B, num_point=N, shuffle=False).epoch())
     runs = {}
     for impl in IMPLS:
+        base, _, suffix = impl.partition("+")
         cfg = Config(
             model_name="residual-dgcnn", num_class=2, kvalue=20,
             edge_filters=(64,) * 6, minibatch_size=B, num_point=N,
             use_pallas=True, remat=REMAT, knn_every=KNN_EVERY,
-            knn_window=KNN_WINDOW, block_impl=impl,
+            knn_window=KNN_WINDOW, block_impl=base,
+            head_factorized=(suffix == "hf"),
         )
         tv = Trainval(cfg, mesh=make_mesh(1))
         state = tv.initialize(4)
