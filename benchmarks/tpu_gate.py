@@ -17,7 +17,9 @@ Legs:
   rdma     ring_knn_rdma Mosaic-compiled at the largest local D vs the
            global oracle (expect 0)
   export   export -> deserialize -> serve round-trip vs live eval-mode
-           inference (expect bitwise 0 diff)
+           inference, for BOTH head forms (default concat and the
+           model-defining --head_factorized opt-in; expect bitwise 0
+           diff each)
   conv     30-step convergence smoke on the flagship model (loss must
            drop by >30%)
 
@@ -284,7 +286,12 @@ def leg_export(tmpdir):
     HIGHEST matmul precision (the serving-parity configuration
     tests/test_export.py pins at atol 1e-5): under DEFAULT precision the
     live and deserialized executables can legitimately differ at ~1e-2
-    (different fusion -> different bf16 matmul roundings)."""
+    (different fusion -> different bf16 matmul roundings).
+
+    Runs BOTH head forms: the default concat head and the model-defining
+    `--head_factorized` opt-in — each round-trip must match its own live
+    apply, so a Mosaic/XLA upgrade breaking the factorized contraction
+    path shows up here, not in production serving."""
     import types
 
     from dgcnn_tpu.config import Config
@@ -292,28 +299,33 @@ def leg_export(tmpdir):
     from dgcnn_tpu.train.export import export_model, load_exported
 
     n = min(GATE_CONV_N, 2048)
-    cfg = Config(
-        model_name="residual-dgcnn", num_class=2, kvalue=20,
-        edge_filters=(64,) * 6, num_point=n, use_pallas=False,
-        precision="highest",
-    )
-    model = get_model(
-        cfg.model_name, cfg.model_spec(), precision=jax.lax.Precision.HIGHEST
-    )
-    params, mstate = model.init(jax.random.PRNGKey(7), 4)
+    out = {}
     rng = np.random.default_rng(3)
     pts = jnp.asarray(rng.normal(size=(1, n, 4)).astype(np.float32))
     mask = jnp.asarray(rng.random((1, n)) > 0.1)
-    live = jax.jit(
-        lambda p, s, x, m: jax.nn.softmax(
-            model.apply(p, s, x, m, train=False)[0], axis=-1
+    for tag, hf in (("export", False), ("export_hf", True)):
+        cfg = Config(
+            model_name="residual-dgcnn", num_class=2, kvalue=20,
+            edge_filters=(64,) * 6, num_point=n, use_pallas=False,
+            precision="highest", head_factorized=hf,
         )
-    )(params, mstate, pts, mask)
-    state = types.SimpleNamespace(params=params, model_state=mstate)
-    blob = export_model(cfg, state, in_dim=4, batch=1)
-    served = load_exported(blob)(pts, mask)
-    diff = float(jnp.max(jnp.abs(served - live)))
-    return {"export_bytes": len(blob), "export_max_abs_diff": diff}
+        model = get_model(
+            cfg.model_name, cfg.model_spec(),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        params, mstate = model.init(jax.random.PRNGKey(7), 4)
+        live = jax.jit(
+            lambda p, s, x, m, model=model: jax.nn.softmax(
+                model.apply(p, s, x, m, train=False)[0], axis=-1
+            )
+        )(params, mstate, pts, mask)
+        state = types.SimpleNamespace(params=params, model_state=mstate)
+        blob = export_model(cfg, state, in_dim=4, batch=1)
+        served = load_exported(blob)(pts, mask)
+        out[f"{tag}_max_abs_diff"] = float(jnp.max(jnp.abs(served - live)))
+        if not hf:
+            out["export_bytes"] = len(blob)
+    return out
 
 
 def leg_convergence():
@@ -365,6 +377,7 @@ def main():
         and out["banded_zerotrip_valid_leak"] == 0
         and out["rdma_mismatches"] == 0
         and out["export_max_abs_diff"] <= 1e-5
+        and out["export_hf_max_abs_diff"] <= 1e-5
         and out["conv_loss_end"] < 0.7 * out["conv_loss_start"]
     )
     print(json.dumps(out), flush=True)
