@@ -25,12 +25,14 @@ STEPS = int(os.environ.get("CONV_STEPS", 300))
 N = int(os.environ.get("CONV_N", 4096))
 KNN_EVERY = int(os.environ.get("CONV_KNN_EVERY", 1))
 KNN_WINDOW = int(os.environ.get("CONV_KNN_WINDOW", 0))
+HEAD_FACTORIZED = os.environ.get("CONV_HEAD_FACTORIZED", "0") == "1"
 SEED = int(os.environ.get("CONV_SEED", 7))
 
 
 def run(steps=STEPS, n_point=N, edge_filters=(64,) * 6, head=(1024, (512, 256)),
         minibatch=4, num_events=32, kvalue=20, seed=SEED, use_pallas=True,
-        num_devices=0, knn_every=KNN_EVERY, knn_window=KNN_WINDOW):
+        num_devices=0, knn_every=KNN_EVERY, knn_window=KNN_WINDOW,
+        head_factorized=HEAD_FACTORIZED):
     import jax
 
     from dgcnn_tpu.config import Config
@@ -53,6 +55,7 @@ def run(steps=STEPS, n_point=N, edge_filters=(64,) * 6, head=(1024, (512, 256)),
         num_devices=num_devices,
         knn_every=knn_every,
         knn_window=knn_window,
+        head_factorized=head_factorized,
     )
     tv = Trainval(cfg)
     state = tv.initialize(4)

@@ -102,6 +102,11 @@ def edgeconv_block_reduced(
     The four gathered reductions (max, min, sum, sum-of-squares) read the
     same ``(..., N, k, D)`` gather, which XLA fuses into the reductions —
     the edge tensor exists only inside one fused loop, never in HBM.
+    Past `SLOT_STREAM_ELEMS` gather elements XLA stops fusing and
+    materializes the gather, so huge-N EVAL (local gathers only) streams
+    one neighbor slot at a time instead — bitwise the dense result (see
+    `_maxmin_streamed`; this is what lets 2M-point events serve on one
+    chip).
     Measured in the 4×4096 production regime this removes the dominant
     block cost (see BASELINE.md). In eval mode the result is **bitwise
     identical** to the materializing path (statistics come from state, and
@@ -132,10 +137,28 @@ def edgeconv_block_reduced(
     gamma = bn_params["scale"].astype(jnp.float32)
     beta = bn_params["bias"].astype(jnp.float32)
     p = p.astype(jnp.float32)
-    g = gather(q.astype(jnp.float32), idx)  # (..., N, k, D), fused below
     k = idx.shape[-1]
-    mx = jnp.max(g, axis=-2)
-    mn = jnp.min(g, axis=-2)
+    qf = q.astype(jnp.float32)
+    if (
+        not train
+        and gather_fn is None
+        and idx.shape[-2] * k * qf.shape[-1] >= SLOT_STREAM_ELEMS
+    ):
+        # Huge-N eval: XLA fuses the gather into the reductions at
+        # headline sizes, but past SLOT_STREAM_ELEMS it materializes the
+        # (..., N, k, D) gather (measured: a 21.5 GB lane-padded OOM at
+        # N=2M serving) — stream one neighbor slot at a time with two
+        # O(N·C) carries instead. jnp.maximum/minimum fold in slot order,
+        # the same monoid and order the dense jnp.max/min reduce lowers
+        # to, so the result is bitwise the dense traversal's. Eval only
+        # (no AD through the loop; train statistics stay on the dense /
+        # gathered_stats paths) and local gathers only (a custom
+        # gather_fn, e.g. the exact ring's, keeps the dense traversal).
+        mx, mn = _maxmin_streamed(qf, idx)
+    else:
+        g = gather(qf, idx)  # (..., N, k, D), fused below
+        mx = jnp.max(g, axis=-2)
+        mn = jnp.min(g, axis=-2)
     if train:
         sq = jnp.sum(g, axis=-2)
         sq2 = jnp.sum(jnp.square(g), axis=-2)
@@ -294,6 +317,28 @@ def _fwd_reductions(q, idx):
         1, k, body, (g0, z, g0, z, g0, jnp.square(g0))
     )
     return mx, ax, mn, an, sq, sq2
+
+
+def _maxmin_streamed(q, idx):
+    """Per-query neighbor max/min of ``q[idx]``, one slot at a time.
+
+    The eval-mode counterpart of `_fwd_reductions`'s streamed branch:
+    two O(N·C) carries, no statistics, no winner indices. Bitwise equal
+    to ``jnp.max/min(gather(q, idx), axis=-2)`` (same max/min monoid
+    folded in the same slot order)."""
+    k = idx.shape[-1]
+
+    def slot(s):
+        rows = jax.lax.dynamic_index_in_dim(idx, s, axis=-1)
+        return jnp.take_along_axis(q, rows, axis=-2)
+
+    def body(s, carry):
+        mx, mn = carry
+        g = slot(s)
+        return jnp.maximum(mx, g), jnp.minimum(mn, g)
+
+    g0 = slot(0)
+    return jax.lax.fori_loop(1, k, body, (g0, g0))
 
 
 def _gathered_stats_fwd(p, q, idx, w):

@@ -384,3 +384,52 @@ def test_slot_streamed_forward_matches_dense(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-6
         )
+
+
+def test_slot_streamed_eval_matches_dense(monkeypatch):
+    """Above SLOT_STREAM_ELEMS the EVAL path also streams (the 2M-point
+    serving fix: XLA materializes the (N,k,C) gather past the fusion
+    sizes it handles — a measured 21.5 GB OOM at 2M). Streamed eval
+    max/min must be BITWISE the dense traversal through both the reduced
+    block and the full fused->reduced eval delegation, duplicates and
+    masks included."""
+    import dgcnn_tpu.ops.edge as edge_mod
+    from dgcnn_tpu.ops.edge import (
+        edgeconv_block_fused,
+        edgeconv_block_reduced,
+    )
+
+    p, q, bnp, bn_state, idx, mask = _block_fixture(seed=29)
+    idx = idx.at[:, :, 2].set(idx[:, :, 0])  # duplicate slots force ties
+    for m in (None, mask):
+        y_dense, _ = edgeconv_block_reduced(
+            p, q, bnp, bn_state, idx, m, train=False
+        )
+        monkeypatch.setattr(edge_mod, "SLOT_STREAM_ELEMS", 1)
+        y_stream, _ = edgeconv_block_reduced(
+            p, q, bnp, bn_state, idx, m, train=False
+        )
+        np.testing.assert_array_equal(
+            np.asarray(y_dense), np.asarray(y_stream)
+        )
+        # the frontier entry point: fused delegates eval to reduced
+        y_fused, _ = edgeconv_block_fused(
+            p, q, bnp, bn_state, idx, m, train=False
+        )
+        np.testing.assert_array_equal(
+            np.asarray(y_dense), np.asarray(y_fused)
+        )
+        # a custom gather_fn must keep the dense traversal (no local
+        # slot indexing against non-local gather semantics)
+        calls = []
+
+        def spy_gather(qv, ix):
+            calls.append(1)
+            return edge_mod.gather_neighbors(qv, ix)
+
+        y_g, _ = edgeconv_block_reduced(
+            p, q, bnp, bn_state, idx, m, train=False, gather_fn=spy_gather
+        )
+        assert calls, "custom gather_fn bypassed"
+        np.testing.assert_array_equal(np.asarray(y_dense), np.asarray(y_g))
+        monkeypatch.undo()
