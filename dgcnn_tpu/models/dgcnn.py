@@ -39,6 +39,7 @@ from dgcnn_tpu.ops.edge import (
     edgeconv_block_reduced,
     gather_neighbors,
 )
+from dgcnn_tpu.models.head import HEAD_STREAM_ELEMS, head_streamed
 from dgcnn_tpu.ops.knn import banded_knn_indices, knn_indices
 from dgcnn_tpu.ops.norm import batch_norm_apply
 from dgcnn_tpu.ops.sfc import morton_order
@@ -492,6 +493,42 @@ def make_model(
             x = y
 
         agg = jnp.concatenate(block_feats, axis=-1)  # (B, N, sum C)
+
+        rows = 1
+        for d in agg.shape[:-1]:
+            rows *= int(d)
+        if rows * max(spec.head_feat_dim, 1) >= HEAD_STREAM_ELEMS and (
+            not spec.global_pool
+            or pool_fn is None
+            or getattr(pool_fn, "is_masked_max", False)
+        ):
+            # frontier-size events: the dense head's per-point activations
+            # are the binding HBM tensors (measured: (2M,1024)+2x(2M,512)
+            # +2x(2M,256) backward temps / a 301 MB miss at 4M eval —
+            # BASELINE.md). Stream the head over point chunks instead;
+            # eval-bitwise, train stats differ only by summation order
+            # (models.head docstring). A custom non-max pool_fn keeps the
+            # dense head (its pool cannot be chunk-decomposed).
+            logits, head_state = head_streamed(
+                params["head"],
+                state["head"],
+                agg,
+                mask,
+                spec=spec,
+                cdtype=cdtype,
+                precision=precision,
+                bn_axis=bn_axis,
+                pool_fn=_pool,
+                rng=rng,
+                train=train,
+            )
+            new_state["head"] = head_state
+            if inv_pos is not None:
+                logits = jnp.take_along_axis(
+                    logits, inv_pos[..., None], axis=-2
+                )
+            return logits.astype(jnp.float32), new_state
+
         feat, feat_s = conv_bn_apply(
             params["head"]["feat"],
             state["head"]["feat"],

@@ -61,6 +61,15 @@ def cp_masked_max_pool(x, mask, axis_name: str = POINT_AXIS):
     return jnp.where(any_valid[..., None], g, 0.0)
 
 
+def _masked_max_pool_for(axis_name: str):
+    """Bind `cp_masked_max_pool` to an axis and TAG it as a masked-max
+    pool: the streamed head (models.head) may then chunk-decompose the
+    pool into a local running max + this fn on the (B, 1, C) partial."""
+    f = lambda x, mask: cp_masked_max_pool(x, mask, axis_name)  # noqa: E731
+    f.is_masked_max = True
+    return f
+
+
 def cp_graph_ops(
     axis_name: str = POINT_AXIS,
     precision=None,
@@ -116,7 +125,7 @@ def cp_graph_ops(
     return GraphOps(
         knn=knn,
         gather=lambda values, idx: ring_gather(values, idx, axis_name=axis_name),
-        pool=lambda x, mask: cp_masked_max_pool(x, mask, axis_name),
+        pool=_masked_max_pool_for(axis_name),
         # exact-ring decomposition for the fused block's local-gather
         # custom VJP: 'exchange' = one tiled all_gather of the neighbor
         # operand (same total ICI bytes as ring_gather's D−1 hops; the
@@ -175,7 +184,7 @@ def banded_cp_graph_ops(
         gather=lambda values, idx: halo_gather(
             values, idx, window=window, axis_name=axis_name
         ),
-        pool=lambda x, mask: cp_masked_max_pool(x, mask, axis_name),
+        pool=_masked_max_pool_for(axis_name),
         # halo gathers decompose into exchange + local gather, so the
         # fused block's O(N·C) backward applies under banded CP (the
         # halo-row gradients ride the transposed ppermutes of `extend`)
