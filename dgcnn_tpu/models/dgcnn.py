@@ -492,10 +492,8 @@ def make_model(
             block_feats.append(y)
             x = y
 
-        agg = jnp.concatenate(block_feats, axis=-1)  # (B, N, sum C)
-
         rows = 1
-        for d in agg.shape[:-1]:
+        for d in block_feats[0].shape[:-1]:
             rows *= int(d)
         if rows * max(spec.head_feat_dim, 1) >= HEAD_STREAM_ELEMS and (
             not spec.global_pool
@@ -507,12 +505,14 @@ def make_model(
             # +2x(2M,256) backward temps / a 301 MB miss at 4M eval —
             # BASELINE.md). Stream the head over point chunks instead;
             # eval-bitwise, train stats differ only by summation order
-            # (models.head docstring). A custom non-max pool_fn keeps the
-            # dense head (its pool cannot be chunk-decomposed).
+            # (models.head docstring); the (B, N, sum C) agg concat is
+            # never materialized (a measured 6 G at 4M). A custom
+            # non-max pool_fn keeps the dense head (its pool cannot be
+            # chunk-decomposed).
             logits, head_state = head_streamed(
                 params["head"],
                 state["head"],
-                agg,
+                block_feats,
                 mask,
                 spec=spec,
                 cdtype=cdtype,
@@ -529,6 +529,7 @@ def make_model(
                 )
             return logits.astype(jnp.float32), new_state
 
+        agg = jnp.concatenate(block_feats, axis=-1)  # (B, N, sum C)
         feat, feat_s = conv_bn_apply(
             params["head"]["feat"],
             state["head"]["feat"],

@@ -92,7 +92,7 @@ def _normalize(pre, mean, var, scale, bias):
 def head_streamed(
     params,
     state,
-    agg,
+    feats,
     mask,
     *,
     spec,
@@ -107,7 +107,11 @@ def head_streamed(
 
     Args:
       params/state: the ``head`` subtrees (``feat``/``mlp``/``out``).
-      agg: ``(B, N, sum C)`` concatenated block features.
+      feats: the per-block feature tensors (each ``(B, N, C_i)``); the
+        (B, N, sum C) concat is NEVER materialized — each chunk
+        concatenates its slices (at 4M points the whole-array concat is
+        a measured 6 G allocation on top of the block outputs that must
+        exist anyway).
       mask: ``(B, N)`` bool validity or None.
       spec: the ModelSpec (head_factorized, global_pool, dropout,
         head_feat_dim, bn_momentum).
@@ -121,21 +125,38 @@ def head_streamed(
       ``(logits, new_head_state)`` — logits in compute dtype, caller
       casts to f32 exactly as the dense path does.
     """
-    b, n = agg.shape[0], agg.shape[-2]
+    b, n = feats[0].shape[0], feats[0].shape[-2]
+    ca = sum(f.shape[-1] for f in feats)
+    lead = feats[0].shape[:-2]
     mom = spec.bn_momentum
     new_state = {"feat": state["feat"], "mlp": []}
 
     ch, nchunks, pad = _chunk_geometry(n, b, max(spec.head_feat_dim, 1))
-    agg_p = _pad_points(agg, pad)
+    feats_p = [_pad_points(f, pad) for f in feats]
     mask_p = (
-        jnp.ones(agg_p.shape[:-1], bool) if mask is None else _pad_points(mask, pad)
+        jnp.ones(feats_p[0].shape[:-1], bool)
+        if mask is None
+        else _pad_points(mask, pad)
     )
     if mask is None and pad:
         mask_p = mask_p.at[..., n:].set(False)
     starts = jnp.arange(nchunks) * ch
+    # a varying zero derived from the data: under shard_map the scan
+    # carries must hold the mesh axes' varying type from step 0, but
+    # constant inits are unvarying (the same trick as the fused block's
+    # idx-derived zero carry) — adding this zero scalar fixes the vma
+    # without changing any value
+    vz = (feats_p[0][..., :1, :1].sum() * 0.0).astype(jnp.float32)
+
+    def vary(c):
+        return jax.tree_util.tree_map(lambda t: t + vz, c)
 
     def chunk(x, s):
         return jax.lax.dynamic_slice_in_dim(x, s, ch, axis=-2)
+
+    def agg_chunk(s):
+        # per-chunk concat of the block features: (..., ch, sum C)
+        return jnp.concatenate([chunk(f, s) for f in feats_p], axis=-1)
 
     def chunk_mask(s):
         return jax.lax.dynamic_slice_in_dim(mask_p, s, ch, axis=-1)
@@ -166,7 +187,7 @@ def head_streamed(
         @jax.checkpoint
         def feat_sweep(carry, s):
             cnt, s1, s2, mx, mn = carry
-            a_c = chunk(agg_p, s).astype(cdtype)
+            a_c = agg_chunk(s).astype(cdtype)
             m_c = chunk_mask(s)
             pre = jnp.einsum("...c,cd->...d", a_c, wf, precision=precision)
             if train:
@@ -188,7 +209,7 @@ def head_streamed(
             jnp.full((b, fdim), -big, jnp.float32),
             jnp.full((b, fdim), big, jnp.float32),
         )
-        (cnt, s1, s2, mx, mn), _ = jax.lax.scan(feat_sweep, carry0, starts)
+        (cnt, s1, s2, mx, mn), _ = jax.lax.scan(feat_sweep, vary(carry0), starts)
         if train:
             mean, var, feat_s = finalize_batch_stats(
                 cnt, s1, s2, state["feat"], momentum=mom, axis_name=bn_axis
@@ -219,7 +240,6 @@ def head_streamed(
     # hf branch, which broadcasts the same (B, D) einsum result)
     g_terms = {}
     if factorized:
-        ca = agg.shape[-1]
         w0 = mlp[0][0]["w"].astype(cdtype)
         g_terms[0] = jnp.einsum(
             "...c,cd->...d", g_vec.astype(cdtype), w0[ca:], precision=precision
@@ -231,7 +251,7 @@ def head_streamed(
         ``upto == len(mlp)``, for the output dense). ``stats`` holds the
         finalized (mean, var) per layer computed so far."""
         if spec.global_pool:
-            h = chunk(agg_p, s).astype(cdtype)
+            h = agg_chunk(s).astype(cdtype)
             if not factorized:
                 g = jnp.broadcast_to(
                     g_vec[..., None, :].astype(cdtype),
@@ -240,7 +260,7 @@ def head_streamed(
                 h = jnp.concatenate([h, g], axis=-1)
         else:
             # no pool: the feat conv itself is layer -1 of the ladder
-            a_c = chunk(agg_p, s).astype(cdtype)
+            a_c = agg_chunk(s).astype(cdtype)
             pre = jnp.einsum(
                 "...c,cd->...d",
                 a_c,
@@ -259,9 +279,8 @@ def head_streamed(
             p_l, _ = mlp[li]
             w = p_l["w"].astype(cdtype)
             if li == 0 and factorized:
-                ca_ = agg.shape[-1]
                 pre = (
-                    jnp.einsum("...c,cd->...d", h, w[:ca_], precision=precision)
+                    jnp.einsum("...c,cd->...d", h, w[:ca], precision=precision)
                     + g_terms[0][..., None, :]
                 )
             else:
@@ -292,7 +311,7 @@ def head_streamed(
                 cnt, s1, s2 = carry
                 pre = jnp.einsum(
                     "...c,cd->...d",
-                    chunk(agg_p, s).astype(cdtype),
+                    agg_chunk(s).astype(cdtype),
                     wf,
                     precision=precision,
                 )
@@ -302,7 +321,7 @@ def head_streamed(
             fdim = params["feat"]["w"].shape[-1]
             z = jnp.zeros((fdim,), jnp.float32)
             c0 = (jnp.zeros((), jnp.float32) if not use_mask else z, z, z)
-            (cnt, s1, s2), _ = jax.lax.scan(fsweep, c0, starts)
+            (cnt, s1, s2), _ = jax.lax.scan(fsweep, vary(c0), starts)
             fmean, fvar, feat_s = finalize_batch_stats(
                 cnt, s1, s2, state["feat"], momentum=mom, axis_name=bn_axis
             )
@@ -321,9 +340,8 @@ def head_streamed(
                 h = ladder(s, li, stats)
                 w = p_l["w"].astype(cdtype)
                 if li == 0 and factorized:
-                    ca_ = agg.shape[-1]
                     pre = (
-                        jnp.einsum("...c,cd->...d", h, w[:ca_], precision=precision)
+                        jnp.einsum("...c,cd->...d", h, w[:ca], precision=precision)
                         + g_terms[0][..., None, :]
                     )
                 else:
@@ -333,7 +351,7 @@ def head_streamed(
 
             z = jnp.zeros((dim,), jnp.float32)
             c0 = (jnp.zeros((), jnp.float32) if not use_mask else z, z, z)
-            (cnt, s1, s2), _ = jax.lax.scan(stats_sweep, c0, starts)
+            (cnt, s1, s2), _ = jax.lax.scan(stats_sweep, vary(c0), starts)
             lmean, lvar, s_new = finalize_batch_stats(
                 cnt, s1, s2, s_l, momentum=mom, axis_name=bn_axis
             )
@@ -358,6 +376,6 @@ def head_streamed(
     _, logits = jax.lax.scan(logits_sweep, (), starts)
     # (nchunks, B, ch, nc) -> (B, nchunks*ch, nc) -> drop padding
     logits = jnp.moveaxis(logits, 0, -3).reshape(
-        agg.shape[:-2] + (nchunks * ch, logits.shape[-1])
+        lead + (nchunks * ch, logits.shape[-1])
     )
     return logits[..., :n, :], new_state

@@ -200,28 +200,36 @@ def edgeconv_block_reduced(
 
 
 @jax.custom_vjp
-def gathered_stats(p: jax.Array, q: jax.Array, idx: jax.Array, w):
+def gathered_stats(p: jax.Array, q: jax.Array, idx: jax.Array, w, gsign):
     """EdgeConv reduction core with a one-scatter custom VJP.
 
     One fused gather traversal of ``g = q[idx]`` producing everything the
     restructured EdgeConv block (`edgeconv_block_fused`) needs:
 
-      mx, mn : (..., N, C) per-query neighbor max / min of q
+      m      : (..., N, C) per-query neighbor max of q where
+               ``gsign`` (= γ ≥ 0) is True, neighbor MIN elsewhere — the
+               winning pre-activation of the monotone BN+relu chain
+               (identity 1 of `edgeconv_block_reduced`), selected INSIDE
+               the primitive so only ONE winner tensor/cotangent exists
+               (at 2M points the separate mx/mn pair cost ~2 G of
+               backward cotangent + winner-index residual traffic)
       s1p    : (C,) Σ_i w_i·Σ_s q_js            (edge sum of q)
       s2a    : (C,) Σ_i w_i·Σ_s q_js²           (edge sum of q²)
       s2b    : (C,) Σ_i w_i·p_i·Σ_s q_js        (p-weighted edge sum)
 
-    ``w`` is the (..., N) f32 query-validity weight (or None). The BN
-    batch statistics assemble from these OUTSIDE this function (including
-    any cross-device psums — kept outside so shard_map's replication
-    inference sees them), and the ``(..., N, k, C)`` edge tensor exists
-    only inside the fused forward loop.
+    ``w`` is the (..., N) f32 query-validity weight (or None); ``gsign``
+    is the (C,) bool per-channel selector (non-differentiable, like
+    ``idx``). The BN batch statistics assemble from these OUTSIDE this
+    function (including any cross-device psums — kept outside so
+    shard_map's replication inference sees them), and the
+    ``(..., N, k, C)`` edge tensor exists only inside the fused forward
+    loop.
 
     Backward (the point of this primitive): AD of max-of-gather re-runs
     the gather to rebuild the winner mask, then scatter-adds a full
     edge-tensor cotangent per reduction. Here the winning slots are saved
-    as argmax/argmin indices in forward, the per-edge cotangent is built
-    elementwise (winner one-hots + broadcast statistic terms — their
+    as uint8 indices in forward, the per-edge cotangent is built
+    elementwise (winner one-hot + broadcast statistic terms — their
     cotangents are per-channel scalars), and everything collapses into
     k row-scatter-adds of C+1 channels, one per neighbor slot (the extra
     channel carries the masked in-degree, which routes the
@@ -249,7 +257,7 @@ def gathered_stats(p: jax.Array, q: jax.Array, idx: jax.Array, w):
     into a second on-chip pass" (discharged by restructuring: this fused
     traversal + the BN-commutation algebra of `edgeconv_block_reduced`).
     """
-    return _gathered_stats_fwd(p, q, idx, w)[0]
+    return _gathered_stats_fwd(p, q, idx, w, gsign)[0]
 
 
 # edge tensors (elements of the would-be (..., N, k, C) gather) at or
@@ -276,6 +284,13 @@ def _fwd_reductions(q, idx):
     class. Caveat: a NaN appearing at slot > 0 does not propagate into
     the streamed max/min (strict compares are False), unlike the dense
     reduce — only reachable on already-diverged activations.
+
+    NOTE: production streaming now lives in `_gathered_stats_fwd`'s own
+    loop (leaner carries: sq2 folds to (C,), winners stored uint8 —
+    measured 2M-train levers). This function's streamed branch stays as
+    the pinned semantic reference for that loop's tie/order rules
+    (tests/test_edge.py::test_slot_streamed_forward_matches_dense) and
+    is only reached below the threshold in production (dense branch).
     """
     k = idx.shape[-1]
     c = q.shape[-1]
@@ -341,24 +356,82 @@ def _maxmin_streamed(q, idx):
     return jax.lax.fori_loop(1, k, body, (g0, g0))
 
 
-def _gathered_stats_fwd(p, q, idx, w):
-    mx, ax, mn, an, sq, sq2 = _fwd_reductions(q, idx)
+def _winner_dtype(k: int):
+    """Slot indices live in [0, k): store them narrow. At 2M points each
+    (..., N, C) int32 winner tensor is a 1 G lane-padded residual; uint8
+    is 4x smaller and covers any sane neighbor count."""
+    return jnp.uint8 if k <= 255 else jnp.int32
+
+
+def _gathered_stats_fwd(p, q, idx, w, gsign):
+    k = idx.shape[-1]
+    c = q.shape[-1]
+    ni = idx.shape[-2]
     axes = tuple(range(p.ndim - 1))
+    idt = _winner_dtype(k)
+    wc = None if w is None else w[..., None]
+    if ni * k * c >= SLOT_STREAM_ELEMS:
+        # slot-streamed with MINIMAL carries. Unlike `_fwd_reductions`,
+        # the per-row sum-of-squares never exists: only its (masked)
+        # row-reduction s2a is ever consumed, so it folds to a (C,)
+        # carry — at 2M points that removes a 1 G (N, C) f32 carry from
+        # the forward AND from every remat replay in the backward.
+        # s2a's summation order differs from the dense branch's
+        # (slot-major vs row-major) — train-statistics reassociation
+        # class, same as the chunked head (models/head.py).
+        def slot(s):
+            rows = jax.lax.dynamic_index_in_dim(idx, s, axis=-1)
+            return jnp.take_along_axis(q, rows, axis=-2)
+
+        def fold_sq2(g):
+            g2 = jnp.square(g)
+            return jnp.sum(g2 if wc is None else g2 * wc, axis=axes)
+
+        g0 = slot(0)
+        # winner carries derived from idx so they hold the varying mesh
+        # axes under shard_map (same trick as the backward's zero carry)
+        z = jnp.broadcast_to((idx[..., :1] * 0).astype(idt), g0.shape)
+
+        def body(s, carry):
+            mx, ax, mn, an, sq, s2a = carry
+            g = slot(s)
+            gt = g > mx
+            lt = g < mn
+            si = s.astype(idt)
+            return (
+                jnp.where(gt, g, mx),
+                jnp.where(gt, si, ax),
+                jnp.where(lt, g, mn),
+                jnp.where(lt, si, an),
+                sq + g,
+                s2a + fold_sq2(g),
+            )
+
+        mx, ax, mn, an, sq, s2a = jax.lax.fori_loop(
+            1, k, body, (g0, z, g0, z, g0, fold_sq2(g0))
+        )
+    else:
+        mx, ax, mn, an, sq, sq2 = _fwd_reductions(q, idx)
+        ax, an = ax.astype(idt), an.astype(idt)
+        s2a = jnp.sum(sq2 if wc is None else sq2 * wc, axis=axes)
     if w is None:
         s1p = jnp.sum(sq, axis=axes)
-        s2a = jnp.sum(sq2, axis=axes)
         s2b = jnp.sum(p * sq, axis=axes)
     else:
-        wc = w[..., None]
         s1p = jnp.sum(sq * wc, axis=axes)
-        s2a = jnp.sum(sq2 * wc, axis=axes)
         s2b = jnp.sum(p * sq * wc, axis=axes)
-    return (mx, mn, s1p, s2a, s2b), (p, q, idx, w, ax, an, sq)
+    # fold the per-channel gamma-sign selection INTO the primitive: one
+    # winner-value tensor and one uint8 winner-slot residual instead of
+    # the mx/ax + mn/an pairs (halves the huge-N winner traffic; the
+    # cotangent entering bwd is likewise a single dm)
+    m = jnp.where(gsign, mx, mn)
+    aw = jnp.where(gsign, ax, an)
+    return (m, s1p, s2a, s2b), (p, q, idx, w, aw, sq)
 
 
 def _gathered_stats_bwd(res, cot):
-    p, q, idx, w, ax, an, sq = res
-    dmx, dmn, ds1p, ds2a, ds2b = cot
+    p, q, idx, w, aw, sq = res
+    dm, ds1p, ds2a, ds2b = cot
     c = q.shape[-1]
     nq = q.shape[-2]  # key rows (may exceed query rows: halo-extended q
     #                   under banded context parallelism carries 2W halo
@@ -387,17 +460,26 @@ def _gathered_stats_bwd(res, cot):
     wrow = (
         jnp.ones(p.shape[:-1], jnp.float32) if w is None else w
     )  # (..., N)
-    base = (stat * wrow[..., None]).reshape(bl, ni, c)
-    dmx2, dmn2 = dmx.reshape(bl, ni, c), dmn.reshape(bl, ni, c)
-    ax2, an2 = ax.reshape(bl, ni, c), an.reshape(bl, ni, c)
+    dm2 = dm.reshape(bl, ni, c)
+    aw2 = aw.reshape(bl, ni, c)
     idx2 = idx.reshape(bl, ni, k)
-    wcol = wrow.reshape(bl, ni)[..., None]  # (bl, N, 1)
+    # the loop-invariant stat term and the in-degree channel are hoisted
+    # TOGETHER as one (bl, N, C+1) base: concatenating the (bl, N, 1)
+    # wcol per slot made XLA hold a separate lane-padded copy of it
+    # (measured: 1 G for 8 MB of data at 2M points)
+    base = jnp.concatenate(
+        [
+            (stat * wrow[..., None]).reshape(bl, ni, c),
+            wrow.reshape(bl, ni)[..., None],
+        ],
+        axis=-1,
+    )
     brow = jnp.arange(bl)[:, None]
 
     def one_slot(s, acc):
-        upd = base + jnp.where(ax2 == s, dmx2, 0.0)
-        upd = upd + jnp.where(an2 == s, dmn2, 0.0)
-        upd = jnp.concatenate([upd, wcol], axis=-1)
+        si = s.astype(aw2.dtype)  # winners stored narrow (uint8)
+        win = jnp.where(aw2 == si, dm2, 0.0)
+        upd = base + jnp.pad(win, ((0, 0), (0, 0), (0, 1)))
         rows = jax.lax.dynamic_index_in_dim(idx2, s, axis=-1)  # (bl, N, 1)
         return acc.at[brow, rows[..., 0]].add(upd, mode="promise_in_bounds")
 
@@ -422,6 +504,7 @@ def _gathered_stats_bwd(res, cot):
         dq.astype(q.dtype),
         np.zeros(idx.shape, f0),
         None if w is None else jnp.zeros_like(w),
+        np.zeros((c,), f0),  # gsign: non-differentiable bool selector
     )
 
 
@@ -470,7 +553,9 @@ def edgeconv_block_fused(
     k = idx.shape[-1]
     c = p.shape[-1]
     w = None if mask is None else mask.astype(jnp.float32)
-    mx, mn, s1p, s2a, s2b = gathered_stats(p, q.astype(jnp.float32), idx, w)
+    m, s1p, s2a, s2b = gathered_stats(
+        p, q.astype(jnp.float32), idx, w, gamma >= 0
+    )
     axes = tuple(range(p.ndim - 1))
     kf = jnp.float32(k)
     if w is None:
@@ -490,7 +575,8 @@ def edgeconv_block_fused(
     mean, var, new_state = finalize_batch_stats(
         count, s1, s2, bn_state, momentum=momentum, axis_name=axis_name
     )
-    m = jnp.where(gamma >= 0, mx, mn)
+    # m is already the gamma-sign-selected winner (folded into the
+    # primitive — see gathered_stats)
     y = jax.nn.relu(
         (p + m - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
     )

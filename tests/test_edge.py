@@ -357,6 +357,31 @@ def test_slot_streamed_forward_matches_dense(monkeypatch):
             np.asarray(d), np.asarray(s), rtol=1e-6, err_msg=name
         )
 
+    # the PRODUCTION streamed forward (_gathered_stats_fwd's lean-carry
+    # loop): winner selection + sq residual bitwise the dense branch;
+    # the folded s2a differs only by summation order
+    p5 = jnp.asarray(rng.randn(b, n, c), jnp.float32)
+    w5 = jnp.asarray((rng.rand(b, n) > 0.3).astype(np.float32))
+    gs = jnp.asarray(rng.randn(c) >= 0)  # mixed-sign gamma selector
+    for w_ in (None, w5):
+        monkeypatch.setattr(edge_mod, "SLOT_STREAM_ELEMS", 10**9)
+        out_d, res_d = edge_mod._gathered_stats_fwd(p5, q, idx, w_, gs)
+        monkeypatch.setattr(edge_mod, "SLOT_STREAM_ELEMS", 1)
+        out_s, res_s = edge_mod._gathered_stats_fwd(p5, q, idx, w_, gs)
+        np.testing.assert_array_equal(
+            np.asarray(out_d[0]), np.asarray(out_s[0]), err_msg="m"
+        )
+        for name, d, s in zip(("s1p", "s2a", "s2b"), out_d[1:], out_s[1:]):
+            np.testing.assert_allclose(
+                np.asarray(d), np.asarray(s), rtol=1e-6, err_msg=name
+            )
+        for name, d, s in zip(("aw", "sq"), res_d[4:], res_s[4:]):
+            assert np.asarray(d).dtype == np.asarray(s).dtype, name
+            np.testing.assert_array_equal(
+                np.asarray(d), np.asarray(s), err_msg=name
+            )
+        assert np.asarray(res_s[4]).dtype == np.uint8  # narrow winners
+
     # whole block, streaming forced: output/state/grads still match the
     # AD reference (the backward consumes the streamed residuals)
     p, qb, bnp, bn_state, bidx, mask = _block_fixture(seed=23)
