@@ -20,6 +20,8 @@ Legs:
            inference, for BOTH head forms (default concat and the
            model-defining --head_factorized opt-in; expect bitwise 0
            diff each)
+  headstream  streamed head (models/head.py — the 2M/4M serving path)
+           vs the dense head, eval mode (expect bitwise 0 diff)
   conv     30-step convergence smoke on the flagship model (loss must
            drop by >30%)
 
@@ -328,6 +330,49 @@ def leg_export(tmpdir):
     return out
 
 
+def leg_head_stream():
+    """Streamed head vs dense head: EVAL must be bitwise on hardware.
+
+    The streamed head is the 2M-serving/4M-serving path (models/head.py);
+    its contract is bitwise-eval vs the dense head (chunked row-
+    independent matmuls + the exact normalize chain + max-monoid pool
+    decomposition). A compiler upgrade changing M-tiling rounding would
+    surface here. Forced on via the module threshold; two separate jit
+    wrappers so the second trace re-reads it."""
+    import dgcnn_tpu.models.dgcnn as dgcnn_mod
+    from dgcnn_tpu.models import ModelSpec, get_model
+
+    n = GATE_CONV_N
+    spec = ModelSpec(
+        num_class=2, k=20, edge_filters=(64,) * 6, head_feat_dim=1024,
+        head_mlp=(512, 256), global_pool=True, head_factorized=True,
+    )
+    model = get_model("residual-dgcnn", spec)
+    params, state = model.init(jax.random.PRNGKey(5), 4)
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(rng.normal(size=(1, n, 4)).astype(np.float32))
+    mask = jnp.asarray(rng.random((1, n)) > 0.1)
+    y_dense = np.asarray(
+        jax.jit(lambda p, s, x, m: model.apply(p, s, x, m, train=False)[0])(
+            params, state, pts, mask
+        )
+    )
+    old = dgcnn_mod.HEAD_STREAM_ELEMS
+    try:
+        dgcnn_mod.HEAD_STREAM_ELEMS = 1
+        y_stream = np.asarray(
+            jax.jit(
+                lambda p, s, x, m: model.apply(p, s, x, m, train=False)[0]
+            )(params, state, pts, mask)
+        )
+    finally:
+        dgcnn_mod.HEAD_STREAM_ELEMS = old
+    return {
+        "headstream_mismatches": int((y_dense != y_stream).sum()),
+        "headstream_total": int(y_dense.size),
+    }
+
+
 def leg_convergence():
     """30-step flagship smoke: loss must drop by >30%."""
     from dgcnn_tpu.config import Config
@@ -368,6 +413,7 @@ def main():
         out.update(leg_knn_banded())
         out.update(leg_rdma())
         out.update(leg_export(td))
+        out.update(leg_head_stream())
         out.update(leg_convergence())
     out["ok"] = bool(
         out["knn_mismatches"] == 0
@@ -378,6 +424,7 @@ def main():
         and out["rdma_mismatches"] == 0
         and out["export_max_abs_diff"] <= 1e-5
         and out["export_hf_max_abs_diff"] <= 1e-5
+        and out["headstream_mismatches"] == 0
         and out["conv_loss_end"] < 0.7 * out["conv_loss_start"]
     )
     print(json.dumps(out), flush=True)
