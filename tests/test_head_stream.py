@@ -123,6 +123,41 @@ def test_streamed_dropout_deterministic(monkeypatch):
     assert not np.array_equal(np.asarray(y1), np.asarray(y3))
 
 
+def test_streamed_train_step_under_shard_map(monkeypatch):
+    """Trainval's shard_map train step with the streamed head: the scan
+    carries must hold the mesh axes' varying type (the vz trick in
+    models.head) — this is the exact configuration that tripped vma
+    checking at 2M on hardware. Also pins DP2 == DP1 with streaming."""
+    from dgcnn_tpu.config import Config
+    from dgcnn_tpu.io import BucketBatcher, SyntheticIO
+    from dgcnn_tpu.parallel.mesh import make_mesh
+    from dgcnn_tpu.train import Trainval
+
+    monkeypatch.setattr(dgcnn_mod, "HEAD_STREAM_ELEMS", 1)
+    n, b = 64, 2
+    kw = dict(
+        model_name="residual-dgcnn", num_class=2, kvalue=4,
+        edge_filters=(8, 8), minibatch_size=b, num_point=n,
+        use_pallas=False, head_factorized=True, remat=True,
+    )
+    io = SyntheticIO(num_events=b, num_point=n, seed=0).initialize()
+    batch = next(BucketBatcher(io, b, num_point=n, shuffle=False).epoch())
+
+    losses = {}
+    for nd in (1, 2):
+        tv = Trainval(
+            Config(**kw, num_devices=nd), mesh=make_mesh(nd)
+        )
+        s = tv.initialize(4)
+        for _ in range(3):
+            s, m = tv.train_step(s, batch)
+        losses[nd] = float(m["loss"])
+        assert np.isfinite(losses[nd])
+    # DP sharding reorders the psum'd BN partial sums (device-count
+    # float tolerance, as in test_trainval's DP8==DP1)
+    np.testing.assert_allclose(losses[1], losses[2], rtol=2e-4)
+
+
 def test_streamed_head_under_cp(monkeypatch):
     """Banded CP with the streamed head: eval logits at valid rows must
     stay bitwise the single-device banded model's (the banded-CP
