@@ -21,7 +21,9 @@ Legs:
            model-defining --head_factorized opt-in; expect bitwise 0
            diff each)
   headstream  streamed head (models/head.py — the 2M/4M serving path)
-           vs the dense head, eval mode (expect bitwise 0 diff)
+           vs the dense head, eval mode (expect bitwise 0 diff on TPU;
+           the CPU smoke gates on <=1e-5 — CPU dots block K differently
+           inside scans)
   conv     30-step convergence smoke on the flagship model (loss must
            drop by >30%)
 
@@ -370,6 +372,7 @@ def leg_head_stream():
     return {
         "headstream_mismatches": int((y_dense != y_stream).sum()),
         "headstream_total": int(y_dense.size),
+        "headstream_max_abs_diff": float(np.abs(y_dense - y_stream).max()),
     }
 
 
@@ -424,7 +427,15 @@ def main():
         and out["rdma_mismatches"] == 0
         and out["export_max_abs_diff"] <= 1e-5
         and out["export_hf_max_abs_diff"] <= 1e-5
-        and out["headstream_mismatches"] == 0
+        # bitwise is a TPU-hardware contract (MXU accumulation is
+        # deterministic per tile shape — measured 0/524288 at 256k); the
+        # CPU backend's dot blocks K differently inside scans, so the
+        # CPU smoke gates on tolerance instead
+        and (
+            out["headstream_mismatches"] == 0
+            if out["backend"] != "cpu"
+            else out["headstream_max_abs_diff"] <= 1e-5
+        )
         and out["conv_loss_end"] < 0.7 * out["conv_loss_start"]
     )
     print(json.dumps(out), flush=True)
