@@ -12,10 +12,13 @@ Prints ONE JSON line:
 ``vs_baseline`` is the ratio to the TF-CPU stand-in (the reference repo
 publishes no numbers and its TF1 source was unavailable — per SURVEY.md
 §6 the stand-in is this framework's own jnp path on the host CPU, same
-config). The recorded stand-in (CPU_BASELINE_PPS) is re-measurable in
-one run: BENCH_MEASURE_CPU=1 spawns a subprocess that times the same
-config on the host CPU and uses that number instead — so every value in
-the JSON line is reproducible from this script alone (VERDICT r1 #8).
+config). The stand-in is MEASURED IN-RUN by default (VERDICT r3 #3: the
+artifact of record must self-prove its ratio — the recorded constant is
+±10% host-load-dependent across rounds): a subprocess times the same
+config on the host CPU (~1-2 min inside the 3-5 min budget). Set
+BENCH_MEASURE_CPU=0 to skip it; on subprocess failure the recorded
+constant (CPU_BASELINE_PPS) is the fallback, flagged by
+``cpu_standin_measured: false`` in the JSON line.
 """
 
 from __future__ import annotations
@@ -121,10 +124,23 @@ def _measure_cpu_standin() -> float:
 def main():
     cpu_pps = CPU_BASELINE_PPS
     default_config = (N_POINTS, BATCH, KNN_EVERY) == (16384, 1, 1)
-    baseline_valid = default_config
-    if os.environ.get("BENCH_MEASURE_CPU") == "1":
-        baseline_valid = True
-        cpu_pps = _measure_cpu_standin()
+    cpu_measured = False
+    if os.environ.get("BENCH_MEASURE_CPU", "1") == "1":
+        try:
+            cpu_pps = _measure_cpu_standin()
+            cpu_measured = True
+        except Exception as e:  # fall back to the recorded constant
+            print(
+                f"WARNING: in-run CPU stand-in measure failed ({e}); "
+                f"falling back to the recorded constant "
+                f"{CPU_BASELINE_PPS} points/s",
+                file=sys.stderr,
+                flush=True,
+            )
+    # the recorded CPU constant was measured at the default config — a
+    # ratio against it is only meaningful there; an in-run measurement
+    # is like-for-like at ANY config
+    baseline_valid = cpu_measured or default_config
     pps, step_ms = measure(N_POINTS, BATCH, ITERS, USE_PALLAS, PRECISION)
     print(
         json.dumps(
@@ -133,16 +149,13 @@ def main():
                 f"k=20, {N_POINTS}-pt events, fwd+bwd+opt)",
                 "value": round(pps, 1),
                 "unit": "points/s",
-                # the recorded CPU constant was measured at the default
-                # config — a ratio against it is only meaningful there
-                # (or when BENCH_MEASURE_CPU re-measured like-for-like)
                 "vs_baseline": (
                     round(pps / cpu_pps, 2) if baseline_valid else None
                 ),
                 "step_ms": round(step_ms, 1),
                 "events_per_sec": round(pps / N_POINTS, 2),
                 "cpu_standin_pps": round(cpu_pps, 1),
-                "cpu_standin_measured": os.environ.get("BENCH_MEASURE_CPU") == "1",
+                "cpu_standin_measured": cpu_measured,
             }
         ),
         flush=True,

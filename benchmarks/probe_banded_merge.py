@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Winner-dense merge probe for the banded kNN kernel (VERDICT r3 #5).
+
+BASELINE.md's round-3 banded floor (~62-68 ps/pair vs the exact kernel's
+~28) was closed with reasoning borrowed from the round-2 exact-kernel
+merge study — but that study's premise was winner-SPARSE tiles (most of
+an exact sweep's N/T tiles contribute nothing, so the single full-tile
+do-while amortizes to ~1 pass). The banded path scans ONLY the ~W/T
+tiles of each query's window: every tile is winner-DENSE and pays
+multi-pass extraction, each pass re-scanning the whole (QB, T) tile.
+
+This probe measures the chunked-extraction variant
+(`kernels.knn_banded merge_chunk`): split each DMA'd tile into
+`mc`-column chunks, each with its own adaptive do-while, so re-scans
+are `mc` wide — total extraction touches drop from
+(max winners/row/TILE + 1) * T to sum_chunks (max winners/row/CHUNK
++ 1) * mc. Outputs are bitwise identical for any mc (asserted here and
+in tests/test_knn_banded.py).
+
+Interleaved A/B within one process (CLAUDE.md: +-8% chip variance), on
+the 6-build back-to-back shape the model actually runs (the in-step
+regime where consecutive builds share compiled code + warm HBM).
+
+Usage (real TPU):
+  python benchmarks/probe_banded_merge.py
+  PROBE_REGIMES=131072:4096,1048576:4096 python benchmarks/probe_banded_merge.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgcnn_tpu.kernels.knn_banded import knn_pallas_banded
+from dgcnn_tpu.ops.sfc import morton_order
+
+K = int(os.environ.get("PROBE_K", 20))
+C = int(os.environ.get("PROBE_C", 64))
+BUILDS = int(os.environ.get("PROBE_BUILDS", 6))
+REPS = int(os.environ.get("PROBE_REPS", 5))
+_default = "131072:4096,131072:8192,524288:8192,1048576:4096"
+REGIMES = [
+    tuple(int(v) for v in s.split(":"))
+    for s in os.environ.get("PROBE_REGIMES", _default).split(",")
+]
+CHUNKS = [
+    int(v)
+    for v in os.environ.get("PROBE_CHUNKS", "1024,512,256,128").split(",")
+]
+
+
+def six_builds(mc):
+    """The in-step shape: BUILDS sequential banded graph builds."""
+
+    @jax.jit
+    def f(x):
+        acc = jnp.zeros((), jnp.int32)
+        idx = None
+        for _ in range(BUILDS):
+            idx, _ = knn_pallas_banded(
+                x, K, None, window=W, merge_chunk=mc,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            acc = acc + idx[0, 0, 0]
+        return idx, acc
+
+    return f
+
+
+def timeit(f, x):
+    r = f(x)
+    float(np.asarray(r[1]))  # host-transfer sync (CLAUDE.md)
+    t0 = time.perf_counter()
+    r = f(x)
+    float(np.asarray(r[1]))
+    return (time.perf_counter() - t0) * 1e3
+
+
+for n, w in REGIMES:
+    W = w
+    rng = np.random.RandomState(0)
+    # track-like structure (clustered line segments) — the regime where
+    # banded near-ties are densest and windows are winner-dense
+    segs = rng.randn(8, 2, C).astype(np.float32)
+    t = rng.rand(n, 1).astype(np.float32)
+    which = rng.randint(0, 8, n)
+    x = segs[which, 0] * t + segs[which, 1] * (1 - t)
+    x += 0.01 * rng.randn(n, C).astype(np.float32)
+    xj = jnp.asarray(x[None])
+    order, _ = morton_order(xj, None)
+    xs = jnp.take_along_axis(xj, order[..., None], axis=-2)
+
+    fns = {mc: six_builds(mc) for mc in CHUNKS}
+    # exactness: all variants bitwise-equal indices
+    base_idx = None
+    for mc, f in fns.items():
+        idx = np.asarray(f(xs)[0])
+        if base_idx is None:
+            base_idx = idx
+        else:
+            assert (idx == base_idx).all(), f"mc={mc} diverged at N={n}"
+    times = {mc: [] for mc in CHUNKS}
+    for _ in range(REPS):
+        for mc, f in fns.items():  # interleave configs within the rep
+            times[mc].append(timeit(f, xs))
+    base = np.median(times[CHUNKS[0]])
+    for mc in CHUNKS:
+        med = float(np.median(times[mc]))
+        print(
+            f"N={n:8d} W={w:5d} mc={mc:5d}: {med:9.1f} ms /{BUILDS} builds "
+            f"({med / BUILDS:7.1f} ms/build, {1e9 * med / BUILDS / (n * w):6.1f} "
+            f"ps/pair) {'BASE' if mc == CHUNKS[0] else f'{base / med:5.2f}x'}",
+            flush=True,
+        )

@@ -35,6 +35,7 @@ KNN_WINDOW = int(os.environ.get("BENCH_KNN_WINDOW", 0))
 PRECISION = os.environ.get("BENCH_PRECISION", "highest")  # or bfloat16
 BLOCK_IMPL = os.environ.get("BENCH_BLOCK_IMPL", "auto")  # edge|reduced|fused
 HEAD_FACTORIZED = os.environ.get("BENCH_HEAD_FACTORIZED", "0") == "1"
+HEAD_STREAM = os.environ.get("BENCH_HEAD_STREAM", "auto")  # auto|on|off
 ITERS = int(os.environ.get("BENCH_ITERS", 5))
 
 
@@ -70,6 +71,7 @@ def main():
         precision=PRECISION,
         block_impl=BLOCK_IMPL,
         head_factorized=HEAD_FACTORIZED,
+        head_stream=HEAD_STREAM,
     )
     tv = Trainval(cfg, mesh=make_mesh(1))
     state = tv.initialize(4)

@@ -9,7 +9,12 @@ in CLAUDE.md, next to bench.py).
 
 Legs:
   knn      fused Pallas kNN vs the f32 oracle at 16k (full-index sweep,
-           masks + duplicate points; expect 0 mismatches)
+           masks + duplicate points; expect 0 mismatches; near-ties are
+           reported AND bounded at <=1e-4 of slots)
+  samescore  fused Pallas kNN vs a jnp reference computing the SAME
+           single-contraction score over the shared augmented operands
+           (lax.top_k tie rule) — ZERO tolerance, ties included: a merge
+           bug hiding in the near-tie class fails here
   banded   banded Pallas kNN (--knn_window) vs the banded jnp oracle at
            4k, window n/4 (same sweep + near-tie split; expect 0), plus
            the halo-cross form (banded CP's local scorer: nonzero
@@ -82,6 +87,68 @@ def leg_knn():
         "knn_mismatches": hard,
         "knn_near_ties": near,
         "knn_total": int(idx_p.size),
+    }
+
+
+def leg_knn_samescore():
+    """Zero-tolerance leg: kernel vs a jnp reference computing the SAME
+    single-contraction score — 0 disagreements INCLUDING ties.
+
+    The oracle leg's near-tie allowance exists because the kernel's score
+    (2<x,y> - |y|^2, one contraction over the augmented operands) and the
+    oracle's assembled distance can round 1-ulp ties oppositely — which
+    means a merge bug whose damage lands exclusively on near-tie pairs
+    would stay green there (VERDICT r3 weak #4). This leg closes that
+    hole: the reference builds the IDENTICAL augmented operands through
+    `build_augmented_operands` (the single shared score-defining
+    constructor), contracts them with one HIGHEST-precision dot, and
+    ranks with `lax.top_k` (value desc, index asc — the kernel's tie
+    rule). Same per-element score expression -> the comparison is exact:
+    any disagreement at all fails the gate.
+    """
+    from dgcnn_tpu.kernels.knn_pallas import (
+        build_augmented_operands,
+        knn_pallas,
+    )
+
+    n, c, k = GATE_N, 64, 20
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(1, n, c)).astype(np.float32)
+    x[:, n // 2] = x[:, 1]  # duplicate ties must agree exactly
+    x[:, n - 5] = x[:, 1]
+    x[:, n // 3] = x[:, 7]
+    mask = np.ones((1, n), bool)
+    mask[:, -n // 64 :] = False
+    xj, mj = jnp.asarray(x), jnp.asarray(mask)
+    idx_p, valid_p = jax.jit(
+        lambda x, m: knn_pallas(x, k, m, precision=jax.lax.Precision.HIGHEST)
+    )(xj, mj)
+
+    def reference(xq, m):
+        qa, ka, _, _, _ = build_augmented_operands(
+            xq, xq, m, block_q=256, block_t=1024, key_layout="narrow_t"
+        )
+        c2p = ka.shape[1]
+        scores = jax.lax.dot_general(
+            qa[:, :, :c2p],
+            ka,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (B, nq_pad, nk_pad)
+        vals, idx = jax.lax.top_k(scores[:, :n], k)
+        valid = vals > -1e29
+        self_idx = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+        idx = jnp.where(valid, idx.astype(jnp.int32), self_idx)
+        return idx, valid
+
+    idx_r, valid_r = jax.jit(reference)(xj, mj)
+    return {
+        "knn_samescore_disagreements": int(
+            np.sum(np.asarray(idx_p) != np.asarray(idx_r))
+            + np.sum(np.asarray(valid_p) != np.asarray(valid_r))
+        ),
+        "knn_samescore_total": int(idx_p.size),
     }
 
 
@@ -329,6 +396,22 @@ def leg_export(tmpdir):
         out[f"{tag}_max_abs_diff"] = float(jnp.max(jnp.abs(served - live)))
         if not hf:
             out["export_bytes"] = len(blob)
+            # shape-polymorphic artifact (`export -mb 0`): the symbolic
+            # batch dim must trace (round 3 regressed this via int(dim)
+            # in the streamed-head threshold — VERDICT r3 weak #1) and
+            # serve an unseen batch size matching live eval
+            blob_poly = export_model(cfg, state, in_dim=4, batch=0)
+            pts2 = jnp.concatenate([pts, pts * 0.5], axis=0)
+            mask2 = jnp.concatenate([mask, mask], axis=0)
+            live2 = jax.jit(
+                lambda p, s, x, m, model=model: jax.nn.softmax(
+                    model.apply(p, s, x, m, train=False)[0], axis=-1
+                )
+            )(params, mstate, pts2, mask2)
+            served2 = load_exported(blob_poly)(pts2, mask2)
+            out["export_poly_max_abs_diff"] = float(
+                jnp.max(jnp.abs(served2 - live2))
+            )
     return out
 
 
@@ -339,9 +422,10 @@ def leg_head_stream():
     its contract is bitwise-eval vs the dense head (chunked row-
     independent matmuls + the exact normalize chain + max-monoid pool
     decomposition). A compiler upgrade changing M-tiling rounding would
-    surface here. Forced on via the module threshold; two separate jit
-    wrappers so the second trace re-reads it."""
-    import dgcnn_tpu.models.dgcnn as dgcnn_mod
+    surface here. Forced on via the user-facing knob
+    (ModelSpec.head_stream='on' / --head_stream on)."""
+    import dataclasses
+
     from dgcnn_tpu.models import ModelSpec, get_model
 
     n = GATE_CONV_N
@@ -350,6 +434,9 @@ def leg_head_stream():
         head_mlp=(512, 256), global_pool=True, head_factorized=True,
     )
     model = get_model("residual-dgcnn", spec)
+    model_s = get_model(
+        "residual-dgcnn", dataclasses.replace(spec, head_stream="on")
+    )
     params, state = model.init(jax.random.PRNGKey(5), 4)
     rng = np.random.default_rng(11)
     pts = jnp.asarray(rng.normal(size=(1, n, 4)).astype(np.float32))
@@ -359,16 +446,11 @@ def leg_head_stream():
             params, state, pts, mask
         )
     )
-    old = dgcnn_mod.HEAD_STREAM_ELEMS
-    try:
-        dgcnn_mod.HEAD_STREAM_ELEMS = 1
-        y_stream = np.asarray(
-            jax.jit(
-                lambda p, s, x, m: model.apply(p, s, x, m, train=False)[0]
-            )(params, state, pts, mask)
-        )
-    finally:
-        dgcnn_mod.HEAD_STREAM_ELEMS = old
+    y_stream = np.asarray(
+        jax.jit(
+            lambda p, s, x, m: model_s.apply(p, s, x, m, train=False)[0]
+        )(params, state, pts, mask)
+    )
     return {
         "headstream_mismatches": int((y_dense != y_stream).sum()),
         "headstream_total": int(y_dense.size),
@@ -413,13 +495,29 @@ def main():
     out = {"backend": jax.default_backend(), "n": GATE_N}
     with tempfile.TemporaryDirectory() as td:
         out.update(leg_knn())
+        out.update(leg_knn_samescore())
         out.update(leg_knn_banded())
         out.update(leg_rdma())
         out.update(leg_export(td))
         out.update(leg_head_stream())
         out.update(leg_convergence())
+    # near-tie allowance is BOUNDED (VERDICT r3 weak #4): the legitimate
+    # 1-ulp expression-skew class measures ~1e-5 of slots on random data;
+    # 1e-4 of slots is the ceiling before green means "hiding a bug"
+    near_tie_ok = all(
+        out[f"{leg}_near_ties"] <= max(1e-4 * out[f"{tot}_total"], 4)
+        for leg, tot in (
+            ("knn", "knn"),
+            ("rdma", "knn"),
+            ("banded", "banded"),
+            ("banded_cross", "banded"),
+            ("banded_zerotrip", "banded"),
+        )
+    )
     out["ok"] = bool(
         out["knn_mismatches"] == 0
+        and out["knn_samescore_disagreements"] == 0
+        and near_tie_ok
         and out["banded_mismatches"] == 0
         and out["banded_cross_mismatches"] == 0
         and out["banded_zerotrip_mismatches"] == 0
@@ -427,6 +525,7 @@ def main():
         and out["rdma_mismatches"] == 0
         and out["export_max_abs_diff"] <= 1e-5
         and out["export_hf_max_abs_diff"] <= 1e-5
+        and out["export_poly_max_abs_diff"] <= 1e-5
         # bitwise is a TPU-hardware contract (MXU accumulation is
         # deterministic per tile shape — measured 0/524288 at 256k); the
         # CPU backend's dot blocks K differently inside scans, so the

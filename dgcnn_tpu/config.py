@@ -121,6 +121,14 @@ class Config:
     # unchanged either way). The opt-in that fits 1M-point f32 training
     # on one chip (BASELINE.md long-context frontier).
     head_factorized: bool = False
+    # streamed (chunk-scanned) head: "auto" (default) engages it only at
+    # the >=2**31-row-element frontier (2M+ points) where the dense
+    # head's per-point activations OOM; "on" forces it at any size;
+    # "off" never streams. NOT model-defining (eval output is bitwise
+    # the dense head's — hardware-pinned by benchmarks/tpu_gate.py;
+    # train stats differ only by f32 summation order), so unlike
+    # head_factorized it is NOT adopted from checkpoints
+    head_stream: str = "auto"
     # EdgeConv block implementation: "auto" (default) silently picks the
     # fastest measured form for the config — "fused" for f32 depth-1
     # blocks (slot-loop custom-VJP backward: 9-15% faster train steps
@@ -164,6 +172,7 @@ class Config:
             block_impl=self.block_impl,
             block_convs=self.block_convs,
             head_factorized=self.head_factorized,
+            head_stream=self.head_stream,
         )
 
     def validate(self):
@@ -268,6 +277,7 @@ class Config:
             "optimizer": ("adam", "adamw", "sgd", "momentum"),
             "ring_impl": ("ppermute", "rdma"),
             "block_impl": ("auto", "edge", "reduced", "fused"),
+            "head_stream": ("auto", "on", "off"),
         }
         # argparse `choices` only guards CLI-supplied values; --config
         # files and programmatic Configs land here instead (a typo like
@@ -409,6 +419,14 @@ def _add_common_flags(p: argparse.ArgumentParser):
                    "bitwise vs the concat form -> model-defining "
                    "(adopted from checkpoints). Fits 1M-point f32 "
                    "training on one chip")
+    g.add_argument("--head_stream", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="streamed (chunk-scanned) head: auto = engage at "
+                   "the >=2**31-row-element frontier (2M+ points) where "
+                   "the dense head OOMs; on = force at any size; off = "
+                   "never. Eval output is bitwise the dense head's "
+                   "(hardware-pinned), so NOT model-defining — an "
+                   "implementation knob like block_impl")
     g.add_argument("--block_impl", default="auto",
                    choices=["auto", "edge", "reduced", "fused"],
                    help="EdgeConv block implementation: auto = fastest "

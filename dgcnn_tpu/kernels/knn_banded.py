@@ -40,6 +40,25 @@ from dgcnn_tpu.kernels.knn_pallas import (
 
 NEG_INF = float(np.finfo(np.float32).min)
 
+# column width of the per-tile extraction do-whiles, pre-probe default =
+# the full tile (the exact kernel's structure). Re-set after the
+# winner-dense merge probe (benchmarks/probe_banded_merge.py) lands.
+MERGE_CHUNK_DEFAULT = None
+
+
+def _resolve_merge_chunk(merge_chunk, block_t: int) -> int:
+    """Clamp the extraction-chunk width to [128, block_t], multiple of
+    128 lanes; None picks the measured default."""
+    mc = merge_chunk if merge_chunk is not None else MERGE_CHUNK_DEFAULT
+    if mc is None:
+        mc = block_t
+    mc = max(128, min((int(mc) // 128) * 128, block_t))
+    # the chunk loop must cover the whole tile: mc must divide block_t
+    # (always terminates — block_t is 128-aligned and 128 divides it)
+    while block_t % mc:
+        mc -= 128
+    return mc
+
 
 def _banded_kernel(
     nvalid_ref,  # (B,) SMEM — valid-point count per event
@@ -57,6 +76,7 @@ def _banded_kernel(
     block_t,
     window,
     precision,
+    merge_chunk,
 ):
     b = pl.program_id(0)
     q = pl.program_id(1)
@@ -89,7 +109,9 @@ def _banded_kernel(
     # self-edge fallback discards the rows.
     t1 = jnp.clip((t_end + block_t - 1) // block_t, t0 + 1, n_tiles)
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, (qb, block_t), 1)
+    mc = merge_chunk if merge_chunk else block_t
+    n_chunks = block_t // mc
+    cols_c = jax.lax.broadcasted_iota(jnp.int32, (qb, mc), 1)
     kio = jax.lax.broadcasted_iota(jnp.int32, (k, qb), 0)
 
     def tile_copy(t, tslot):
@@ -118,44 +140,71 @@ def _banded_kernel(
             precision=precision,
         )  # (QB, T)
         tile_base = t * block_t
-        # band test in GLOBAL sorted positions (indices stay key-local;
-        # the wrapper adds key_base back)
-        gcol = key_base + tile_base + cols
-        in_band = jnp.logical_and(gcol >= lo, gcol < lo + window)
-        scores = jnp.where(in_band, scores, NEG_INF)
 
-        # identical merge to the exact kernel (see knn_pallas._knn_kernel):
-        # progress-flag do-while of extract -> sorted (k, QB) insert
-        def pass_cond(c):
-            s, _, _, _, progressed = c
-            return jnp.logical_and(s < k, progressed)
+        # merge, CHUNKED for the winner-dense regime (VERDICT r3 #5): the
+        # banded path has no winner-sparse tiles to amortize the exact
+        # kernel's full-tile extraction (BASELINE.md banded floor note) —
+        # nearly every tile pays multi-pass extraction, and each pass
+        # re-scans the WHOLE (QB, T) tile. Splitting the tile into
+        # `merge_chunk`-wide column chunks, each with its own do-while,
+        # makes every re-scan `mc` wide instead of `block_t`: total
+        # touches drop from (max-winners-per-row-in-TILE + 1) * T to
+        # sum over chunks of (max-winners-per-row-in-CHUNK + 1) * mc —
+        # adaptive per chunk, and earlier chunks raise the entry
+        # threshold for later ones. Selection semantics are unchanged
+        # (chunks ascend in column order, each chunk extracts value-desc
+        # / index-asc, so equal values still ARRIVE in ascending index
+        # order — the insert's `>=` tie rule keeps matching lax.top_k
+        # and outputs stay bitwise identical for any merge_chunk).
+        def merge_chunk_cols(carry, ci):
+            topv, topi, scores_c = carry
 
-        def pass_body(c):
-            s, topv, topi, scores, _ = c
-            m_col = jnp.max(scores, axis=1, keepdims=True)
-            arg_col = jnp.min(
-                jnp.where(scores == m_col, cols, jnp.int32(2**30)),
-                axis=1,
-                keepdims=True,
+            def pass_cond(c):
+                s, _, _, _, progressed = c
+                return jnp.logical_and(s < k, progressed)
+
+            def pass_body(c):
+                s, topv, topi, sc, _ = c
+                m_col = jnp.max(sc, axis=1, keepdims=True)
+                arg_col = jnp.min(
+                    jnp.where(sc == m_col, cols_c, jnp.int32(2**30)),
+                    axis=1,
+                    keepdims=True,
+                )
+                sc = jnp.where(cols_c == arg_col, NEG_INF, sc)
+                m = m_col.T
+                gidx = arg_col.T + tile_base + ci * mc
+                pos = jnp.sum(
+                    (topv >= m).astype(jnp.int32), axis=0, keepdims=True
+                )
+                rolled_v = pltpu.roll(topv, 1, axis=0)
+                rolled_i = pltpu.roll(topi, 1, axis=0)
+                new_v = jnp.where(
+                    kio < pos, topv, jnp.where(kio == pos, m, rolled_v)
+                )
+                new_i = jnp.where(
+                    kio < pos, topi, jnp.where(kio == pos, gidx, rolled_i)
+                )
+                enter = m > topv[k - 1 : k]
+                new_v = jnp.where(enter, new_v, topv)
+                new_i = jnp.where(enter, new_i, topi)
+                return s + 1, new_v, new_i, sc, jnp.any(enter)
+
+            _, topv, topi, _, _ = jax.lax.while_loop(
+                pass_cond,
+                pass_body,
+                (jnp.int32(0), topv, topi, scores_c, jnp.bool_(True)),
             )
-            scores = jnp.where(cols == arg_col, NEG_INF, scores)
-            m = m_col.T
-            gidx = arg_col.T + tile_base
-            pos = jnp.sum((topv >= m).astype(jnp.int32), axis=0, keepdims=True)
-            rolled_v = pltpu.roll(topv, 1, axis=0)
-            rolled_i = pltpu.roll(topi, 1, axis=0)
-            new_v = jnp.where(kio < pos, topv, jnp.where(kio == pos, m, rolled_v))
-            new_i = jnp.where(kio < pos, topi, jnp.where(kio == pos, gidx, rolled_i))
-            enter = m > topv[k - 1 : k]
-            new_v = jnp.where(enter, new_v, topv)
-            new_i = jnp.where(enter, new_i, topi)
-            return s + 1, new_v, new_i, scores, jnp.any(enter)
+            return topv, topi
 
-        _, topv, topi, _, _ = jax.lax.while_loop(
-            pass_cond,
-            pass_body,
-            (jnp.int32(0), topv, topi, scores, jnp.bool_(True)),
-        )
+        for ci in range(n_chunks):
+            sc = scores[:, ci * mc : (ci + 1) * mc]
+            # band test in GLOBAL sorted positions (indices stay
+            # key-local; the wrapper adds key_base back)
+            gcol = key_base + tile_base + ci * mc + cols_c
+            in_band = jnp.logical_and(gcol >= lo, gcol < lo + window)
+            sc = jnp.where(in_band, sc, NEG_INF)
+            topv, topi = merge_chunk_cols((topv, topi, sc), ci)
         return topv, topi
 
     topv0 = jnp.full((k, qb), NEG_INF, jnp.float32)
@@ -167,11 +216,14 @@ def _banded_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "window", "block_q", "block_t", "interpret", "precision"),
+    static_argnames=(
+        "k", "window", "block_q", "block_t", "interpret", "precision",
+        "merge_chunk",
+    ),
 )
 def _banded_pallas_call(
     xq, xk, mask_k, nvalid, bases,
-    *, k, window, block_q, block_t, interpret, precision,
+    *, k, window, block_q, block_t, interpret, precision, merge_chunk,
 ):
     b, n, c = xq.shape
     qa, ka, cp, nq_pad, nk_pad = build_augmented_operands(
@@ -187,6 +239,7 @@ def _banded_pallas_call(
             block_t=block_t,
             window=window,
             precision=precision,
+            merge_chunk=merge_chunk,
         ),
         grid=grid,
         in_specs=[
@@ -238,6 +291,7 @@ def knn_pallas_banded(
     block_t: int = 1024,
     interpret: bool | None = None,
     precision=jax.lax.Precision.HIGHEST,
+    merge_chunk: int | None = None,
 ):
     """Drop-in banded `knn_fn`: same contract as `ops.knn.banded_knn_indices`.
 
@@ -246,6 +300,11 @@ def knn_pallas_banded(
     banded oracle the way the exact kernel matches `lax.top_k` of the f32
     oracle: bit-exact indices, with the documented 1-ulp near-tie caveat
     of the single-contraction score form.
+
+    ``merge_chunk``: column width of the per-tile extraction do-whiles
+    (see `_banded_kernel`); outputs are bitwise identical for any value.
+    None = the measured winner-dense default (`benchmarks/
+    probe_banded_merge.py`).
     """
     b, n, c = x.shape
     if interpret is None:
@@ -269,6 +328,7 @@ def knn_pallas_banded(
         block_t=block_t,
         interpret=interpret,
         precision=precision,
+        merge_chunk=_resolve_merge_chunk(merge_chunk, block_t),
     )
 
 
@@ -286,6 +346,7 @@ def knn_pallas_banded_cross(
     block_t: int = 1024,
     interpret: bool | None = None,
     precision=jax.lax.Precision.HIGHEST,
+    merge_chunk: int | None = None,
 ):
     """Banded selection with offset query/key positions (the halo-CP form).
 
@@ -320,4 +381,5 @@ def knn_pallas_banded_cross(
         block_t=block_t,
         interpret=interpret,
         precision=precision,
+        merge_chunk=_resolve_merge_chunk(merge_chunk, block_t),
     )

@@ -125,6 +125,20 @@ class ModelSpec:
     #   way). Opt-in: the lever that fits million-point f32 training on
     #   ONE chip, where banded CP (which needs ≥ 2 devices) cannot help.
 
+    head_stream: str = "auto"  # streamed (chunk-scanned) head
+    #   (models.head.head_streamed): "auto" (default) engages it when the
+    #   static per-head row count crosses HEAD_STREAM_ELEMS — the 2M/4M
+    #   frontier where the dense head's (N, width) activations OOM —
+    #   and keeps the dense head below it and for symbolic (shape-
+    #   polymorphic export) batch dims; "on" forces it at any size;
+    #   "off" always uses the dense head. NOT model-defining: eval
+    #   output is BITWISE the dense head's (hardware-pinned by
+    #   benchmarks/tpu_gate.py's headstream leg); train stats differ
+    #   only by f32 summation order — the same reassociation class as
+    #   block_impl. A custom non-max pool_fn keeps the dense head
+    #   regardless (the streamed pool decomposition assumes masked max;
+    #   make_model warns if "on" was requested).
+
     block_convs: int = 1  # stacked shared-MLP convs per EdgeConv block.
     #   SURVEY.md §0.6 step 3 tags the reference's per-block depth [M]
     #   ("possibly 2 stacked conv layers per block"); 1 matches the
@@ -253,6 +267,24 @@ def make_model(
                 f"depth-1 blocks; {reason} forces the 'edge' implementation",
                 flush=True,
             )
+
+    if spec.head_stream not in ("auto", "on", "off"):
+        raise ValueError(
+            f"head_stream must be 'auto', 'on' or 'off', got "
+            f"{spec.head_stream!r}"
+        )
+    if (
+        spec.head_stream == "on"
+        and spec.global_pool
+        and pool_fn is not None
+        and not getattr(pool_fn, "is_masked_max", False)
+    ):
+        print(
+            "WARNING: head_stream='on' requires a masked-max pool; the "
+            "custom pool_fn cannot be chunk-decomposed, so the dense "
+            "head will be used",
+            flush=True,
+        )
 
     def init(rng, in_dim: int):
         # keys/block (conv + extra convs + optional proj) + head feat/mlp/out
@@ -492,14 +524,34 @@ def make_model(
             block_feats.append(y)
             x = y
 
-        rows = 1
-        for d in block_feats[0].shape[:-1]:
-            rows *= int(d)
-        if rows * max(spec.head_feat_dim, 1) >= HEAD_STREAM_ELEMS and (
+        # the streamed pool decomposition assumes masked-MAX pooling (the
+        # model default and both CP pools); a custom non-max pool_fn keeps
+        # the dense head (warned at build time if head_stream="on")
+        stream_pool_ok = (
             not spec.global_pool
             or pool_fn is None
             or getattr(pool_fn, "is_masked_max", False)
-        ):
+        )
+        if spec.head_stream == "on":
+            use_stream = stream_pool_ok
+        elif spec.head_stream == "off":
+            use_stream = False
+        else:  # "auto": engage at the huge-N frontier only
+            rows = 1
+            for d in block_feats[0].shape[:-1]:
+                if not isinstance(d, int):
+                    # symbolic dim (shape-polymorphic `export -mb 0`):
+                    # poly-batch artifacts are small-N serving, and
+                    # int(d) on a symbolic dim raises
+                    # InconclusiveDimensionOperation — keep the dense head
+                    rows = 0
+                    break
+                rows *= d
+            use_stream = (
+                stream_pool_ok
+                and rows * max(spec.head_feat_dim, 1) >= HEAD_STREAM_ELEMS
+            )
+        if use_stream:
             # frontier-size events: the dense head's per-point activations
             # are the binding HBM tensors (measured: (2M,1024)+2x(2M,512)
             # +2x(2M,256) backward temps / a 301 MB miss at 4M eval —

@@ -121,8 +121,10 @@ def test_tpu_gate_smoke(monkeypatch, capsys):
 
     line = json.loads(out.strip().splitlines()[-1])
     assert line["knn_mismatches"] == 0
+    assert line["knn_samescore_disagreements"] == 0
     assert line["rdma_mismatches"] == 0
     assert line["export_max_abs_diff"] == 0.0
+    assert line["export_poly_max_abs_diff"] <= 1e-5
     assert rc == 0 and line["ok"], line
 
 

@@ -4,20 +4,25 @@ Contract (models/head.py docstring): EVAL bitwise identical, TRAIN equal
 up to BN-statistic f32 reassociation, gradients equal to float
 tolerance, all three head forms (global_pool + factorized, global_pool
 concat, --no_global_pool), masks and padding included.
+
+The streamed head is forced through the user-facing knob
+(``ModelSpec.head_stream`` / ``--head_stream on``) rather than by
+monkeypatching the module threshold — the knob IS part of the contract.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-import dgcnn_tpu.models.dgcnn as dgcnn_mod
 from dgcnn_tpu.models import ModelSpec, get_model
 
 
-def _spec(hf: bool, gp: bool, dropout: float = 0.0):
+def _spec(hf: bool, gp: bool, dropout: float = 0.0, stream: str = "auto"):
     return ModelSpec(
         num_class=3,
         k=4,
@@ -27,7 +32,16 @@ def _spec(hf: bool, gp: bool, dropout: float = 0.0):
         global_pool=gp,
         head_factorized=hf,
         dropout=dropout,
+        head_stream=stream,
     )
+
+
+def _pair(spec):
+    """(dense model, streamed model) sharing the same param/state trees
+    (init is head_stream-independent)."""
+    m_d = get_model("residual-dgcnn", dataclasses.replace(spec, head_stream="off"))
+    m_s = get_model("residual-dgcnn", dataclasses.replace(spec, head_stream="on"))
+    return m_d, m_s
 
 
 def _fixture(seed=0, b=2, n=96):
@@ -41,15 +55,13 @@ def _fixture(seed=0, b=2, n=96):
     "hf,gp", [(False, True), (True, True), (False, False)]
 )
 @pytest.mark.parametrize("use_mask", [True, False])
-def test_streamed_eval_bitwise(monkeypatch, hf, gp, use_mask):
-    spec = _spec(hf, gp)
-    model = get_model("residual-dgcnn", spec)
-    params, state = model.init(jax.random.PRNGKey(1), 4)
+def test_streamed_eval_bitwise(hf, gp, use_mask):
+    model_d, model_s = _pair(_spec(hf, gp))
+    params, state = model_d.init(jax.random.PRNGKey(1), 4)
     pts, mask = _fixture()
     m = mask if use_mask else None
-    y_dense, _ = model.apply(params, state, pts, m, train=False)
-    monkeypatch.setattr(dgcnn_mod, "HEAD_STREAM_ELEMS", 1)
-    y_stream, st = model.apply(params, state, pts, m, train=False)
+    y_dense, _ = model_d.apply(params, state, pts, m, train=False)
+    y_stream, st = model_s.apply(params, state, pts, m, train=False)
     np.testing.assert_array_equal(np.asarray(y_dense), np.asarray(y_stream))
     # eval must not touch BN state
     for a, b_ in zip(
@@ -61,19 +73,21 @@ def test_streamed_eval_bitwise(monkeypatch, hf, gp, use_mask):
 @pytest.mark.parametrize(
     "hf,gp", [(False, True), (True, True), (False, False)]
 )
-def test_streamed_train_matches_dense(monkeypatch, hf, gp):
-    spec = _spec(hf, gp)
-    model = get_model("residual-dgcnn", spec)
-    params, state = model.init(jax.random.PRNGKey(2), 4)
+def test_streamed_train_matches_dense(hf, gp):
+    model_d, model_s = _pair(_spec(hf, gp))
+    params, state = model_d.init(jax.random.PRNGKey(2), 4)
     pts, mask = _fixture(seed=3)
 
-    def loss_fn(p):
+    def loss_fn(p, model):
         logits, st = model.apply(p, state, pts, mask, train=True)
         return jnp.mean(jnp.square(logits)), st
 
-    (l_d, st_d), g_d = jax.value_and_grad(loss_fn, has_aux=True)(params)
-    monkeypatch.setattr(dgcnn_mod, "HEAD_STREAM_ELEMS", 1)
-    (l_s, st_s), g_s = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    (l_d, st_d), g_d = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, model_d
+    )
+    (l_s, st_s), g_s = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, model_s
+    )
     np.testing.assert_allclose(float(l_d), float(l_s), rtol=1e-6)
     for a, b_ in zip(
         jax.tree_util.tree_leaves(st_d), jax.tree_util.tree_leaves(st_s)
@@ -89,12 +103,10 @@ def test_streamed_train_matches_dense(monkeypatch, hf, gp):
         )
 
 
-def test_streamed_padding_inert(monkeypatch):
+def test_streamed_padding_inert():
     """Garbage in padded rows must not change valid logits (the repo-wide
     padding invariant) — with the streamed head engaged."""
-    monkeypatch.setattr(dgcnn_mod, "HEAD_STREAM_ELEMS", 1)
-    spec = _spec(True, True)
-    model = get_model("residual-dgcnn", spec)
+    model = get_model("residual-dgcnn", _spec(True, True, stream="on"))
     params, state = model.init(jax.random.PRNGKey(4), 4)
     pts, mask = _fixture(seed=5)
     y1, _ = model.apply(params, state, pts, mask, train=False)
@@ -107,10 +119,8 @@ def test_streamed_padding_inert(monkeypatch):
     )
 
 
-def test_streamed_dropout_deterministic(monkeypatch):
-    monkeypatch.setattr(dgcnn_mod, "HEAD_STREAM_ELEMS", 1)
-    spec = _spec(True, True, dropout=0.5)
-    model = get_model("residual-dgcnn", spec)
+def test_streamed_dropout_deterministic():
+    model = get_model("residual-dgcnn", _spec(True, True, 0.5, stream="on"))
     params, state = model.init(jax.random.PRNGKey(6), 4)
     pts, mask = _fixture(seed=7)
     key = jax.random.PRNGKey(11)
@@ -123,7 +133,38 @@ def test_streamed_dropout_deterministic(monkeypatch):
     assert not np.array_equal(np.asarray(y1), np.asarray(y3))
 
 
-def test_streamed_train_step_under_shard_map(monkeypatch):
+def test_head_stream_knob_validation_and_pool_fallback(capsys):
+    """Bad knob values fail at build time; head_stream='on' with a
+    custom non-max pool warns and keeps the dense head (bitwise the
+    default model's output, since the default pool IS masked max)."""
+    with pytest.raises(ValueError, match="head_stream"):
+        get_model("residual-dgcnn", _spec(True, True, stream="sometimes"))
+
+    spec = _spec(False, True, stream="on")
+
+    def custom_pool(x, mask):  # a mean pool: NOT chunk-decomposable
+        if mask is None:
+            return jnp.mean(x, axis=-2)
+        w = mask[..., None].astype(x.dtype)
+        return jnp.sum(x * w, axis=-2) / jnp.maximum(
+            jnp.sum(w, axis=-2), 1.0
+        )
+
+    model = get_model("residual-dgcnn", spec, pool_fn=custom_pool)
+    assert "dense head will be used" in capsys.readouterr().out
+    params, state = model.init(jax.random.PRNGKey(8), 4)
+    pts, mask = _fixture(seed=9)
+    y, _ = model.apply(params, state, pts, mask, train=False)
+    model_off = get_model(
+        "residual-dgcnn",
+        dataclasses.replace(spec, head_stream="off"),
+        pool_fn=custom_pool,
+    )
+    y_off, _ = model_off.apply(params, state, pts, mask, train=False)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_off))
+
+
+def test_streamed_train_step_under_shard_map():
     """Trainval's shard_map train step with the streamed head: the scan
     carries must hold the mesh axes' varying type (the vz trick in
     models.head) — this is the exact configuration that tripped vma
@@ -133,12 +174,12 @@ def test_streamed_train_step_under_shard_map(monkeypatch):
     from dgcnn_tpu.parallel.mesh import make_mesh
     from dgcnn_tpu.train import Trainval
 
-    monkeypatch.setattr(dgcnn_mod, "HEAD_STREAM_ELEMS", 1)
     n, b = 64, 2
     kw = dict(
         model_name="residual-dgcnn", num_class=2, kvalue=4,
         edge_filters=(8, 8), minibatch_size=b, num_point=n,
         use_pallas=False, head_factorized=True, remat=True,
+        head_stream="on",
     )
     io = SyntheticIO(num_events=b, num_point=n, seed=0).initialize()
     batch = next(BucketBatcher(io, b, num_point=n, shuffle=False).epoch())
@@ -158,22 +199,21 @@ def test_streamed_train_step_under_shard_map(monkeypatch):
     np.testing.assert_allclose(losses[1], losses[2], rtol=2e-4)
 
 
-def test_streamed_head_under_cp(monkeypatch):
+def test_streamed_head_under_cp():
     """Banded CP with the streamed head: eval logits at valid rows must
     stay bitwise the single-device banded model's (the banded-CP
     contract), with the head streamed on BOTH sides."""
-    import dgcnn_tpu.models.head as head_mod
     from dgcnn_tpu.config import Config
     from dgcnn_tpu.io import BucketBatcher, SyntheticIO
     from dgcnn_tpu.parallel.mesh import make_mesh
     from dgcnn_tpu.train import Trainval
 
-    monkeypatch.setattr(dgcnn_mod, "HEAD_STREAM_ELEMS", 1)
     n, b = 128, 2
     kw = dict(
         model_name="residual-dgcnn", num_class=2, kvalue=4,
         edge_filters=(8, 8), minibatch_size=b, num_point=n,
         use_pallas=False, knn_window=32, head_factorized=True,
+        head_stream="on",
     )
     io = SyntheticIO(num_events=b, num_point=n, seed=0).initialize()
     batch = next(BucketBatcher(io, b, num_point=n, shuffle=False).epoch())

@@ -170,6 +170,25 @@ def test_banded_kernel_fuzz():
         np.testing.assert_array_equal(np.asarray(vk), np.asarray(vo))
 
 
+@pytest.mark.parametrize("mc", [128, 256, 512, 1024])
+def test_banded_kernel_merge_chunk_bitwise(mc):
+    """`merge_chunk` (the winner-dense chunked extraction, VERDICT r3 #5)
+    is a pure speed knob: any chunk width must give BITWISE the oracle's
+    indices — chunks ascend in column order and each extracts value-desc
+    / index-asc, so equal values still arrive in ascending index order
+    and the insert's tie rule keeps matching lax.top_k."""
+    xs, ms = _sorted_cloud(n=640, c=4, valid=[640, 500], seed=6)
+    # duplicate rows -> exact ties that must not reorder across chunks
+    xs = xs.at[0, 200].set(xs[0, 100])
+    xs = xs.at[0, 101].set(xs[0, 100])
+    io, vo = banded_knn_indices(xs, 20, ms, window=256, precision=HI)
+    ik, vk = knn_pallas_banded(
+        xs, 20, ms, window=256, interpret=True, merge_chunk=mc
+    )
+    np.testing.assert_array_equal(np.asarray(ik), np.asarray(io))
+    np.testing.assert_array_equal(np.asarray(vk), np.asarray(vo))
+
+
 # -------------------------------------------------------------- model ----
 
 
