@@ -57,19 +57,25 @@ CHUNKS = [
 
 
 def six_builds(mc):
-    """The in-step shape: BUILDS sequential banded graph builds."""
+    """The in-step shape: BUILDS sequential banded graph builds.
+
+    Each build's input carries a zero derived from the previous build's
+    output — identical VALUES (so selection work is identical) but a
+    real data dependence, so XLA cannot CSE the six calls into one
+    kernel launch (without it the six identical pure calls dedupe and
+    the probe times a single build)."""
 
     @jax.jit
     def f(x):
-        acc = jnp.zeros((), jnp.int32)
+        xin = x
         idx = None
         for _ in range(BUILDS):
             idx, _ = knn_pallas_banded(
-                x, K, None, window=W, merge_chunk=mc,
+                xin, K, None, window=W, merge_chunk=mc,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            acc = acc + idx[0, 0, 0]
-        return idx, acc
+            xin = x + (idx[0, 0, 0] * 0).astype(x.dtype)
+        return idx, idx[0, 0, 0]
 
     return f
 

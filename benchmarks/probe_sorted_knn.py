@@ -56,11 +56,11 @@ REPS = int(os.environ.get("BENCH_REPS", 3))
 
 def timeit(fn, x, iters=ITERS):
     r = fn(x)
-    np.asarray(r[0][0, 0])
+    np.asarray(r[0][(0,) * (r[0].ndim - 1)])  # ndim-generic sync, as bench_knn
     t0 = time.perf_counter()
     for _ in range(iters):
         r = fn(x)
-    np.asarray(r[0][0, 0])
+    np.asarray(r[0][(0,) * (r[0].ndim - 1)])
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -88,15 +88,20 @@ def main():
     print(f"captured {len(records)} kNN inputs "
           f"(shapes {[tuple(r.shape) for r in records]})", flush=True)
 
-    arms = [("coords4", pts4)]
+    # precompute the morton variant once per arm (the sort+gather is not
+    # in the timed region, but re-running it per rep wasted device time
+    # and noised the interleaving)
+    arms = [("coords4", {"event": pts4, "morton": sorted_copy(pts4)})]
     for i, x in enumerate(records[1:], start=2):
-        arms.append((f"feats{x.shape[-1]}_L{i}", x))
+        arms.append(
+            (f"feats{x.shape[-1]}_L{i}", {"event": x, "morton": sorted_copy(x)})
+        )
 
     kernel = jax.jit(lambda x: knn_pallas(x, K))
     results = {}
     for rep in range(REPS):
-        for name, x in arms:
-            for variant, xv in (("event", x), ("morton", sorted_copy(x))):
+        for name, variants in arms:
+            for variant, xv in variants.items():
                 dt = timeit(kernel, xv)
                 results.setdefault((name, variant), []).append(dt)
                 if rep == REPS - 1:

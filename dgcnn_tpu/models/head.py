@@ -61,12 +61,18 @@ from dgcnn_tpu.ops.norm import finalize_batch_stats
 # 10.95 G OOM (BASELINE.md long-context frontier).
 HEAD_STREAM_ELEMS = 2**31
 
+# target element count of one chunk's widest activation (2**27 f32
+# elements = 512 MB — the "max single alloc" of the 2M-train allocator
+# study; benchmarks/probe_2m_train.py sweeps it)
+HEAD_CHUNK_TARGET_ELEMS = 2**27
+
 _EPS = 1e-3  # batch_norm_apply's default — the chain must match bitwise
 
 
 def _chunk_geometry(n: int, b: int, width: int):
-    """Chunk rows so one chunk's widest activation is ~2**27 elements."""
-    ch = max(int(2**27) // max(b * width, 1), 8)
+    """Chunk rows so one chunk's widest activation is
+    ~HEAD_CHUNK_TARGET_ELEMS elements."""
+    ch = max(int(HEAD_CHUNK_TARGET_ELEMS) // max(b * width, 1), 8)
     ch = min(ch, n)
     ch = max((ch // 8) * 8, 8)
     nchunks = -(-n // ch)  # ceil
