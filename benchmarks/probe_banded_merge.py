@@ -89,19 +89,54 @@ def timeit(f, x):
     return (time.perf_counter() - t0) * 1e3
 
 
+DATA = os.environ.get("PROBE_DATA", "real")  # real|synthetic
+# which build's input to probe: 0 = the raw 4-D coords (layer 1 — the
+# tie-dense case: within a window D_ij spreads far less than |x|^2, so
+# extraction passes multiply), 1 = the ReLU'd C=64 features (layers 2-6)
+LAYER = int(os.environ.get("PROBE_LAYER", 1))
+
+
+def real_features(n, w):
+    """Capture a real kNN input (LAYER 0 = sorted coords, 1 = sorted
+    ReLU'd C=64 features) from a banded model apply — merge pass counts
+    are strongly data-dependent (ties/near-dups in feature space), and
+    random clouds measured ~3-5x too EASY vs in-step 6xkNN times."""
+    from dgcnn_tpu.io.synthetic import make_event
+    from dgcnn_tpu.models.dgcnn import ModelSpec, make_model
+
+    ev = make_event(np.random.RandomState(0), n, num_class=2)
+    pts = jnp.asarray(ev.points[None])
+    records = []
+
+    def rec_knn(x, k, mask):
+        records.append(x)
+        return knn_pallas_banded(x, k, mask, window=w)
+
+    spec = ModelSpec(
+        residual=True, k=K, edge_filters=(64,) * 6, knn_window=w,
+        head_stream="on",
+    )
+    model = make_model(spec, knn_fn=rec_knn)
+    params, state = model.init(jax.random.PRNGKey(0), 4)
+    model.apply(params, state, pts, None, train=False)
+    return records[LAYER]
+
+
 for n, w in REGIMES:
     W = w
-    rng = np.random.RandomState(0)
-    # track-like structure (clustered line segments) — the regime where
-    # banded near-ties are densest and windows are winner-dense
-    segs = rng.randn(8, 2, C).astype(np.float32)
-    t = rng.rand(n, 1).astype(np.float32)
-    which = rng.randint(0, 8, n)
-    x = segs[which, 0] * t + segs[which, 1] * (1 - t)
-    x += 0.01 * rng.randn(n, C).astype(np.float32)
-    xj = jnp.asarray(x[None])
-    order, _ = morton_order(xj, None)
-    xs = jnp.take_along_axis(xj, order[..., None], axis=-2)
+    if DATA == "real":
+        xs = real_features(n, w)
+    else:
+        rng = np.random.RandomState(0)
+        # track-like structure (clustered line segments)
+        segs = rng.randn(8, 2, C).astype(np.float32)
+        t = rng.rand(n, 1).astype(np.float32)
+        which = rng.randint(0, 8, n)
+        x = segs[which, 0] * t + segs[which, 1] * (1 - t)
+        x += 0.01 * rng.randn(n, C).astype(np.float32)
+        xj = jnp.asarray(x[None])
+        order, _ = morton_order(xj, None)
+        xs = jnp.take_along_axis(xj, order[..., None], axis=-2)
 
     fns = {mc: six_builds(mc) for mc in CHUNKS}
     # exactness: all variants bitwise-equal indices
