@@ -54,9 +54,13 @@ CHUNKS = [
     int(v)
     for v in os.environ.get("PROBE_CHUNKS", "1024,512,256,128").split(",")
 ]
+# tile visit order A/B (kernels.knn_banded tile_order): "asc" vs
+# "diag_first" (seed the running top-k from the diagonal tile so the
+# entry bar is high before the winner-sparse off-diagonal tiles merge).
+ORDERS = os.environ.get("PROBE_ORDERS", "asc").split(",")
 
 
-def six_builds(mc):
+def six_builds(mc, order):
     """The in-step shape: BUILDS sequential banded graph builds.
 
     Each build's input carries a zero derived from the previous build's
@@ -71,7 +75,7 @@ def six_builds(mc):
         idx = None
         for _ in range(BUILDS):
             idx, _ = knn_pallas_banded(
-                xin, K, None, window=W, merge_chunk=mc,
+                xin, K, None, window=W, merge_chunk=mc, tile_order=order,
                 precision=jax.lax.Precision.HIGHEST,
             )
             xin = x + (idx[0, 0, 0] * 0).astype(x.dtype)
@@ -138,25 +142,27 @@ for n, w in REGIMES:
         order, _ = morton_order(xj, None)
         xs = jnp.take_along_axis(xj, order[..., None], axis=-2)
 
-    fns = {mc: six_builds(mc) for mc in CHUNKS}
+    arms = [(mc, od) for mc in CHUNKS for od in ORDERS]
+    fns = {a: six_builds(*a) for a in arms}
     # exactness: all variants bitwise-equal indices
     base_idx = None
-    for mc, f in fns.items():
+    for a, f in fns.items():
         idx = np.asarray(f(xs)[0])
         if base_idx is None:
             base_idx = idx
         else:
-            assert (idx == base_idx).all(), f"mc={mc} diverged at N={n}"
-    times = {mc: [] for mc in CHUNKS}
+            assert (idx == base_idx).all(), f"arm={a} diverged at N={n}"
+    times = {a: [] for a in arms}
     for _ in range(REPS):
-        for mc, f in fns.items():  # interleave configs within the rep
-            times[mc].append(timeit(f, xs))
-    base = np.median(times[CHUNKS[0]])
-    for mc in CHUNKS:
-        med = float(np.median(times[mc]))
+        for a, f in fns.items():  # interleave configs within the rep
+            times[a].append(timeit(f, xs))
+    base = np.median(times[arms[0]])
+    for mc, od in arms:
+        med = float(np.median(times[(mc, od)]))
+        tag = "BASE" if (mc, od) == arms[0] else f"{base / med:5.2f}x"
         print(
-            f"N={n:8d} W={w:5d} mc={mc:5d}: {med:9.1f} ms /{BUILDS} builds "
-            f"({med / BUILDS:7.1f} ms/build, {1e9 * med / BUILDS / (n * w):6.1f} "
-            f"ps/pair) {'BASE' if mc == CHUNKS[0] else f'{base / med:5.2f}x'}",
+            f"N={n:8d} W={w:5d} mc={mc:5d} {od:>10s}: {med:9.1f} ms "
+            f"/{BUILDS} builds ({med / BUILDS:7.1f} ms/build, "
+            f"{1e9 * med / BUILDS / (n * w):6.1f} ps/pair) {tag}",
             flush=True,
         )

@@ -40,10 +40,26 @@ from dgcnn_tpu.kernels.knn_pallas import (
 
 NEG_INF = float(np.finfo(np.float32).min)
 
-# column width of the per-tile extraction do-whiles, pre-probe default =
-# the full tile (the exact kernel's structure). Re-set after the
-# winner-dense merge probe (benchmarks/probe_banded_merge.py) lands.
+# column width of the per-tile extraction do-whiles. Measured (probe_
+# banded_merge, hardware, synthetic tracks + real model features + raw
+# coords): chunking LOSES everywhere (0.41-1.00x) — the per-pass cost is
+# the (QB, mc) max/argmin reductions + insert, which chunking multiplies
+# (total passes ~= k + n_chunks) while shrinking only the scan width.
+# Full tile stays the default.
 MERGE_CHUNK_DEFAULT = None
+
+# tile visit order inside each query block's window sweep.
+# "diag_first": visit the DIAGONAL tile (the one containing the query
+# rows themselves) first — on SFC-sorted points the true neighbors
+# concentrate there, so the running top-k's entry bar is raised before
+# the remaining winner-sparse tiles are merged (they then cost ~1
+# extraction pass instead of multi-pass). Selection output is bitwise
+# identical to "asc": the insert breaks value ties by ascending global
+# index, so arrival order cannot change the result. Measured
+# (probe_banded_merge, hardware, interleaved, real model features AND
+# raw coords): 1.17-1.43x over asc across 131k-1M, W=4096-8192 —
+# the winner-dense merge win the chunked extraction couldn't deliver.
+TILE_ORDER_DEFAULT = "diag_first"
 
 
 def _resolve_merge_chunk(merge_chunk, block_t: int) -> int:
@@ -77,6 +93,7 @@ def _banded_kernel(
     window,
     precision,
     merge_chunk,
+    tile_order,
 ):
     b = pl.program_id(0)
     q = pl.program_id(1)
@@ -109,6 +126,24 @@ def _banded_kernel(
     # self-edge fallback discards the rows.
     t1 = jnp.clip((t_end + block_t - 1) // block_t, t0 + 1, n_tiles)
 
+    if tile_order == "diag_first":
+        # visit the tile holding the query rows first (see
+        # TILE_ORDER_DEFAULT). The loop variable j still sweeps
+        # [t0, t1); tile_at maps it to the visit order: diagonal tile,
+        # then the rest ascending (skipping the diagonal).
+        diag = (q_base + q * qb + qb // 2 - key_base) // block_t
+        tc = jnp.clip(diag, t0, t1 - 1)
+
+        def tile_at(j):
+            jj = j - t0
+            return jnp.where(
+                jj == 0, tc, jnp.where(jj <= tc - t0, t0 + jj - 1, t0 + jj)
+            )
+    else:
+
+        def tile_at(j):
+            return j
+
     mc = merge_chunk if merge_chunk else block_t
     n_chunks = block_t // mc
     cols_c = jax.lax.broadcasted_iota(jnp.int32, (qb, mc), 1)
@@ -121,15 +156,16 @@ def _banded_kernel(
             copy_sem.at[tslot],
         )
 
-    tile_copy(t0, 0).start()
+    tile_copy(tile_at(t0), 0).start()
 
-    def merge_tile(t, carry):
+    def merge_tile(j, carry):
         topv, topi = carry
-        tslot = jax.lax.rem(t - t0, 2)
+        t = tile_at(j)
+        tslot = jax.lax.rem(j - t0, 2)
 
-        @pl.when(t + 1 < t1)
+        @pl.when(j + 1 < t1)
         def _():
-            tile_copy(t + 1, jax.lax.rem(t + 1 - t0, 2)).start()
+            tile_copy(tile_at(j + 1), jax.lax.rem(j + 1 - t0, 2)).start()
 
         tile_copy(t, tslot).wait()
         scores = jax.lax.dot_general(
@@ -174,9 +210,15 @@ def _banded_kernel(
                 sc = jnp.where(cols_c == arg_col, NEG_INF, sc)
                 m = m_col.T
                 gidx = arg_col.T + tile_base + ci * mc
-                pos = jnp.sum(
-                    (topv >= m).astype(jnp.int32), axis=0, keepdims=True
+                # value ties break by ascending global index (lax.top_k
+                # order) — makes the result independent of tile visit
+                # order, which diag_first requires. NEG_INF candidates
+                # still never enter: the init slots carry topi=0 and
+                # gidx >= 0.
+                above = jnp.logical_or(
+                    topv > m, jnp.logical_and(topv == m, topi < gidx)
                 )
+                pos = jnp.sum(above.astype(jnp.int32), axis=0, keepdims=True)
                 rolled_v = pltpu.roll(topv, 1, axis=0)
                 rolled_i = pltpu.roll(topi, 1, axis=0)
                 new_v = jnp.where(
@@ -185,7 +227,12 @@ def _banded_kernel(
                 new_i = jnp.where(
                     kio < pos, topi, jnp.where(kio == pos, gidx, rolled_i)
                 )
-                enter = m > topv[k - 1 : k]
+                enter = jnp.logical_or(
+                    m > topv[k - 1 : k],
+                    jnp.logical_and(
+                        m == topv[k - 1 : k], gidx < topi[k - 1 : k]
+                    ),
+                )
                 new_v = jnp.where(enter, new_v, topv)
                 new_i = jnp.where(enter, new_i, topi)
                 return s + 1, new_v, new_i, sc, jnp.any(enter)
@@ -218,12 +265,13 @@ def _banded_kernel(
     jax.jit,
     static_argnames=(
         "k", "window", "block_q", "block_t", "interpret", "precision",
-        "merge_chunk",
+        "merge_chunk", "tile_order",
     ),
 )
 def _banded_pallas_call(
     xq, xk, mask_k, nvalid, bases,
     *, k, window, block_q, block_t, interpret, precision, merge_chunk,
+    tile_order,
 ):
     b, n, c = xq.shape
     qa, ka, cp, nq_pad, nk_pad = build_augmented_operands(
@@ -240,6 +288,7 @@ def _banded_pallas_call(
             window=window,
             precision=precision,
             merge_chunk=merge_chunk,
+            tile_order=tile_order,
         ),
         grid=grid,
         in_specs=[
@@ -292,6 +341,7 @@ def knn_pallas_banded(
     interpret: bool | None = None,
     precision=jax.lax.Precision.HIGHEST,
     merge_chunk: int | None = None,
+    tile_order: str | None = None,
 ):
     """Drop-in banded `knn_fn`: same contract as `ops.knn.banded_knn_indices`.
 
@@ -329,6 +379,7 @@ def knn_pallas_banded(
         interpret=interpret,
         precision=precision,
         merge_chunk=_resolve_merge_chunk(merge_chunk, block_t),
+        tile_order=tile_order or TILE_ORDER_DEFAULT,
     )
 
 
@@ -347,6 +398,7 @@ def knn_pallas_banded_cross(
     interpret: bool | None = None,
     precision=jax.lax.Precision.HIGHEST,
     merge_chunk: int | None = None,
+    tile_order: str | None = None,
 ):
     """Banded selection with offset query/key positions (the halo-CP form).
 
@@ -382,4 +434,5 @@ def knn_pallas_banded_cross(
         interpret=interpret,
         precision=precision,
         merge_chunk=_resolve_merge_chunk(merge_chunk, block_t),
+        tile_order=tile_order or TILE_ORDER_DEFAULT,
     )

@@ -171,22 +171,47 @@ def test_banded_kernel_fuzz():
 
 
 @pytest.mark.parametrize("mc", [128, 256, 512, 1024])
-def test_banded_kernel_merge_chunk_bitwise(mc):
-    """`merge_chunk` (the winner-dense chunked extraction, VERDICT r3 #5)
-    is a pure speed knob: any chunk width must give BITWISE the oracle's
-    indices — chunks ascend in column order and each extracts value-desc
-    / index-asc, so equal values still arrive in ascending index order
-    and the insert's tie rule keeps matching lax.top_k."""
+@pytest.mark.parametrize("tile_order", ["asc", "diag_first"])
+def test_banded_kernel_merge_chunk_bitwise(mc, tile_order):
+    """`merge_chunk` and `tile_order` are pure speed knobs: any chunk
+    width and any tile visit order must give BITWISE the oracle's
+    indices. Chunked extraction yields value-desc / index-asc within
+    each chunk, and the insert breaks value ties by ascending global
+    index — so arrival order (across chunks OR across out-of-order
+    tiles, the diag_first case) cannot change the result."""
     xs, ms = _sorted_cloud(n=640, c=4, valid=[640, 500], seed=6)
     # duplicate rows -> exact ties that must not reorder across chunks
+    # or across tiles (100/101 sit in a different tile than 200 for
+    # block_t=1024? n=640 -> single tile; the w>=n fuzz below crosses)
     xs = xs.at[0, 200].set(xs[0, 100])
     xs = xs.at[0, 101].set(xs[0, 100])
     io, vo = banded_knn_indices(xs, 20, ms, window=256, precision=HI)
     ik, vk = knn_pallas_banded(
-        xs, 20, ms, window=256, interpret=True, merge_chunk=mc
+        xs, 20, ms, window=256, interpret=True, merge_chunk=mc,
+        tile_order=tile_order,
     )
     np.testing.assert_array_equal(np.asarray(ik), np.asarray(io))
     np.testing.assert_array_equal(np.asarray(vk), np.asarray(vo))
+
+
+def test_banded_kernel_tile_order_cross_tile_ties():
+    """Exact duplicate points in DIFFERENT tiles: diag_first visits the
+    later tile first, so the index-ascending tie rule (not arrival
+    order) must decide — pinned against the oracle with small block_t
+    to force a multi-tile sweep."""
+    xs, ms = _sorted_cloud(n=1024, c=4, valid=[1024, 700], seed=7)
+    # duplicates straddling tile boundaries for block_t=256
+    for a, b in [(100, 400), (300, 900), (512, 767)]:
+        xs = xs.at[0, b].set(xs[0, a])
+        xs = xs.at[1, b].set(xs[1, a])
+    io, vo = banded_knn_indices(xs, 16, ms, window=512, precision=HI)
+    for tile_order in ("asc", "diag_first"):
+        ik, vk = knn_pallas_banded(
+            xs, 16, ms, window=512, interpret=True, block_t=256,
+            tile_order=tile_order,
+        )
+        np.testing.assert_array_equal(np.asarray(ik), np.asarray(io))
+        np.testing.assert_array_equal(np.asarray(vk), np.asarray(vo))
 
 
 # -------------------------------------------------------------- model ----
