@@ -15,6 +15,12 @@ config is process-global through the axon remote compiler):
                       round-3 "max single alloc")
   P2M_HEAD_STREAM / P2M_HEAD_FACTORIZED / P2M_KNN_EVERY / P2M_N /
   P2M_WINDOW / P2M_ITERS
+  P2M_PRECISION=<p>    model precision (default config default; bfloat16
+                      halves activation bytes — the honest "does 2M fit
+                      at all on one chip" arm)
+  P2M_FULL_ERR=1      print the allocator's ENTIRE message (largest
+                      program allocations table) instead of the filtered
+                      tail — needed to attribute the fragmentation
 
 Prints one RESULT line: ok + step_ms, or OOM + the allocator's own
 summary tail (peak, largest allocs) so closures quote measured numbers.
@@ -43,6 +49,8 @@ HEAD_CHUNK = int(os.environ.get("P2M_HEAD_CHUNK", 0))
 HEAD_STREAM = os.environ.get("P2M_HEAD_STREAM", "on")
 HEAD_FACTORIZED = os.environ.get("P2M_HEAD_FACTORIZED", "0") == "1"
 KNN_EVERY = int(os.environ.get("P2M_KNN_EVERY", 1))
+PRECISION = os.environ.get("P2M_PRECISION", "default")
+FULL_ERR = os.environ.get("P2M_FULL_ERR", "0") == "1"
 
 if MEMFIT:
     jax.config.update("jax_memory_fitting_effort", MEMFIT)
@@ -63,14 +71,15 @@ from dgcnn_tpu.train import Trainval  # noqa: E402
 def main():
     tag = (
         f"N={N} W={WINDOW} memfit={MEMFIT} head_chunk={HEAD_CHUNK or 'def'} "
-        f"hs={HEAD_STREAM} hf={int(HEAD_FACTORIZED)} ke={KNN_EVERY}"
+        f"hs={HEAD_STREAM} hf={int(HEAD_FACTORIZED)} ke={KNN_EVERY} "
+        f"prec={PRECISION}"
     )
     cfg = Config(
         model_name="residual-dgcnn", num_class=2, kvalue=20,
         edge_filters=(64,) * 6, minibatch_size=1, num_point=N,
         use_pallas=True, remat=True, knn_window=WINDOW,
         knn_every=KNN_EVERY, head_stream=HEAD_STREAM,
-        head_factorized=HEAD_FACTORIZED,
+        head_factorized=HEAD_FACTORIZED, precision=PRECISION,
     )
     tv = Trainval(cfg, mesh=make_mesh(1))
     state = tv.initialize(4)
@@ -96,6 +105,9 @@ def main():
         )
     except Exception as e:
         msg = str(e)
+        if FULL_ERR:
+            print(f"RESULT OOM {tag}:\n{msg[:20000]}", flush=True)
+            sys.exit(1)
         # keep the allocator's own numbers (peak / largest allocations)
         tail = "\n".join(
             ln for ln in msg.splitlines()
