@@ -137,7 +137,11 @@ def main():
         timeit("gather+edge+max fwd (1 block)", gather_edge_max, feats, idx0)
         timeit("gather+edge+max fwd+bwd (1 blk)", gather_edge_max_grad, feats, idx0)
 
-    timeit("6x kNN (graph builds only)", six_knn, points, mask)
+    # the 6-build micro-bench holds six (B, N, k) idx outputs at once —
+    # at 8M+ points that alone is ~4 G and OOMs before the model (which
+    # builds one graph at a time) gets its chance; skippable
+    if os.environ.get("BENCH_SKIP_KNN", "0") != "1":
+        timeit("6x kNN (graph builds only)", six_knn, points, mask)
 
     if os.environ.get("BENCH_FWD_ONLY", "0") == "1":
         # huge-N capability probe, eval mode only: train-mode BN needs

@@ -118,11 +118,12 @@ class Config:
     # concat never exists and the pooled rows are multiplied once per
     # event. Measurably NOT bitwise vs the concat form, so MODEL-DEFINING
     # (inference/export adopt it from the checkpoint; param shapes are
-    # unchanged either way). The opt-in that fits 1M-point f32 training
-    # on one chip (BASELINE.md long-context frontier).
+    # unchanged either way). Since round 4 an optional SPEED knob at the
+    # frontier (the streamed head reaches 1M+ at default semantics —
+    # BASELINE.md long-context frontier).
     head_factorized: bool = False
     # streamed (chunk-scanned) head: "auto" (default) engages it only at
-    # the >=2**31-row-element frontier (2M+ points) where the dense
+    # the >=2**30-row-element frontier (1M+ points) where the dense
     # head's per-point activations OOM; "on" forces it at any size;
     # "off" never streams. NOT model-defining (eval output is bitwise
     # the dense head's — hardware-pinned by benchmarks/tpu_gate.py;
@@ -417,12 +418,12 @@ def _add_common_flags(p: argparse.ArgumentParser):
                    "[agg, pooled-global] concat (the concat tensor never "
                    "exists; pooled rows multiplied once per event). NOT "
                    "bitwise vs the concat form -> model-defining "
-                   "(adopted from checkpoints). Fits 1M-point f32 "
-                   "training on one chip")
+                   "(adopted from checkpoints). An optional speed knob "
+                   "at the 1M+ frontier")
     g.add_argument("--head_stream", default="auto",
                    choices=["auto", "on", "off"],
                    help="streamed (chunk-scanned) head: auto = engage at "
-                   "the >=2**31-row-element frontier (2M+ points) where "
+                   "the >=2**30-row-element frontier (1M+ points) where "
                    "the dense head OOMs; on = force at any size; off = "
                    "never. Eval output is bitwise the dense head's "
                    "(hardware-pinned), so NOT model-defining — an "

@@ -127,7 +127,7 @@ class ModelSpec:
 
     head_stream: str = "auto"  # streamed (chunk-scanned) head
     #   (models.head.head_streamed): "auto" (default) engages it when the
-    #   static per-head row count crosses HEAD_STREAM_ELEMS — the 2M/4M
+    #   static per-head row count crosses HEAD_STREAM_ELEMS — the 1M-4M
     #   frontier where the dense head's (N, width) activations OOM —
     #   and keeps the dense head below it and for symbolic (shape-
     #   polymorphic export) batch dims; "on" forces it at any size;

@@ -55,11 +55,14 @@ import numpy as np
 
 from dgcnn_tpu.ops.norm import finalize_batch_stats
 
-# rows * head_feat_dim at or above which the head streams. 2**31 keeps
-# every measured regime (<= 1M x 1024) on the dense head and engages at
-# the 2M-points-and-up frontier, where the dense backward is a measured
-# 10.95 G OOM (BASELINE.md long-context frontier).
-HEAD_STREAM_ELEMS = 2**31
+# rows * head_feat_dim at or above which the head streams. 2**30 is the
+# measured dense-head OOM line on 16 G HBM: at 1M x 1024 (= 2**30) the
+# dense concat misses by 3.1 G in train and 2.5 G in eval (round 3
+# needed --head_factorized there ONLY because auto sat at 2**31); 512k
+# x 1024 (= 2**29) fits and is faster dense. Streaming is eval-bitwise
+# and train-stat-reassociation-only, so auto engaging it where dense
+# would OOM is a pure capability win (round 4; BASELINE.md frontier).
+HEAD_STREAM_ELEMS = 2**30
 
 # target element count of one chunk's widest activation (2**27 f32
 # elements = 512 MB — the "max single alloc" of the 2M-train allocator
@@ -146,7 +149,46 @@ def head_streamed(
     )
     if mask is None and pad:
         mask_p = mask_p.at[..., n:].set(False)
-    starts = jnp.arange(nchunks) * ch
+    # scans carry the CHUNK INDEX, not the row start: packed slices need
+    # start*C/128, and (row start)*C can overflow int32 past 32M points —
+    # per-array starts are derived from the index with small multipliers
+    starts = jnp.arange(nchunks)
+
+    # LANE-PACK the resident block features: a (B, N, C<128) f32 tensor
+    # held across the chunk scan gets a lane-padded layout from XLA
+    # (C=64 → 2.0× "Extra memory due to padding" per buffer — the
+    # measured 8M-eval OOM was six such copies, 24 G for 12 G of data).
+    # Reshaping to (B, N·C/128, 128) before the scan makes the resident
+    # copy lane-full; each chunk slices packed rows and reshapes back,
+    # which is pure element-order-preserving data movement — outputs,
+    # BN stats and gradients are BITWISE unchanged (non-overlapping
+    # chunk slices, so even the cotangent scatter has no reassociation).
+    _LANE = 128
+    np_pad = feats_p[0].shape[-2]  # padded point count (concrete)
+
+    def _packable(c):
+        # EVAL-only: the padded resident copies appear when XLA's remat
+        # compression kicks in on the eval chunk scan (measured at 8M);
+        # train never showed them, and the packed cotangent path (dus
+        # into packed zeros + reshape) measured a 4.7% slower 1M train
+        # step — so the backward keeps the direct slices.
+        return (
+            not train
+            and 0 < c < _LANE
+            and (ch * c) % _LANE == 0
+            and (np_pad * c) % _LANE == 0
+        )
+
+    def _pack(f):
+        c = f.shape[-1]
+        if not _packable(c):
+            return f, None
+        return (
+            f.reshape(*f.shape[:-2], np_pad * c // _LANE, _LANE),
+            c,
+        )
+
+    feats_pk = [_pack(f) for f in feats_p]
     # a varying zero derived from the data: under shard_map the scan
     # carries must hold the mesh axes' varying type from step 0, but
     # constant inits are unvarying (the same trick as the fused block's
@@ -157,15 +199,23 @@ def head_streamed(
     def vary(c):
         return jax.tree_util.tree_map(lambda t: t + vz, c)
 
-    def chunk(x, s):
-        return jax.lax.dynamic_slice_in_dim(x, s, ch, axis=-2)
+    def chunk(x, j):
+        return jax.lax.dynamic_slice_in_dim(x, j * ch, ch, axis=-2)
 
-    def agg_chunk(s):
+    def chunk_packed(fc, j):
+        f, c = fc
+        if c is None:
+            return chunk(f, j)
+        rows = ch * c // _LANE
+        sl = jax.lax.dynamic_slice_in_dim(f, j * rows, rows, axis=-2)
+        return sl.reshape(*sl.shape[:-2], ch, c)
+
+    def agg_chunk(j):
         # per-chunk concat of the block features: (..., ch, sum C)
-        return jnp.concatenate([chunk(f, s) for f in feats_p], axis=-1)
+        return jnp.concatenate([chunk_packed(fc, j) for fc in feats_pk], axis=-1)
 
-    def chunk_mask(s):
-        return jax.lax.dynamic_slice_in_dim(mask_p, s, ch, axis=-1)
+    def chunk_mask(j):
+        return jax.lax.dynamic_slice_in_dim(mask_p, j * ch, ch, axis=-1)
 
     use_mask = mask is not None or pad > 0
 

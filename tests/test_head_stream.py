@@ -234,3 +234,37 @@ def test_streamed_head_under_cp():
     np.testing.assert_array_equal(
         np.asarray(pr_1)[valid], np.asarray(pr_4)[valid]
     )
+
+
+def test_auto_threshold_boundary(monkeypatch):
+    """`head_stream="auto"` engages EXACTLY at rows*head_feat_dim >=
+    HEAD_STREAM_ELEMS (the measured dense-head OOM line, 2**30 since
+    round 4 — models/head.py rationale). Pinned by shrinking the module
+    threshold around the fixture's static row count and spying on the
+    dispatch, so a future threshold regression (either direction) fails
+    here rather than as a 1M-point OOM on hardware."""
+    import dgcnn_tpu.models.dgcnn as dg
+
+    calls = []
+    orig = dg.head_streamed
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(dg, "head_streamed", spy)
+    spec = _spec(False, True, stream="auto")
+    pts, mask = _fixture()
+    rows_elems = pts.shape[0] * pts.shape[1] * spec.head_feat_dim
+
+    model = get_model("residual-dgcnn", spec)
+    params, state = model.init(jax.random.PRNGKey(3), 4)
+
+    monkeypatch.setattr(dg, "HEAD_STREAM_ELEMS", rows_elems + 1)
+    y_dense, _ = model.apply(params, state, pts, mask, train=False)
+    assert not calls, "auto must keep the dense head below the threshold"
+
+    monkeypatch.setattr(dg, "HEAD_STREAM_ELEMS", rows_elems)
+    y_stream, _ = model.apply(params, state, pts, mask, train=False)
+    assert calls, "auto must stream AT the threshold (>=, not >)"
+    np.testing.assert_array_equal(np.asarray(y_dense), np.asarray(y_stream))
