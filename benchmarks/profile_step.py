@@ -18,8 +18,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("BENCH_MEMFIT"):
+    jax.config.update(
+        "jax_memory_fitting_effort", float(os.environ["BENCH_MEMFIT"])
+    )
+
 import jax.numpy as jnp
 import numpy as np
+
+import dgcnn_tpu.models.head as _head_mod
+
+if os.environ.get("BENCH_HEAD_CHUNK"):
+    _head_mod.HEAD_CHUNK_TARGET_ELEMS = int(os.environ["BENCH_HEAD_CHUNK"])
 
 from dgcnn_tpu.config import Config
 from dgcnn_tpu.io import BucketBatcher, SyntheticIO

@@ -39,6 +39,12 @@ from dgcnn_tpu.ops.edge import (
     edgeconv_block_reduced,
     gather_neighbors,
 )
+
+# gather elements at or above which the EDGE impl's eval path streams one
+# neighbor slot at a time (threshold rationale at the use site: set above
+# every measured-working dense bf16 regime, engages only where the dense
+# (..., N, k, C) gather cannot allocate — 40 GB at 8M points bf16)
+EDGE_EVAL_STREAM_ELEMS = 2**31
 from dgcnn_tpu.models.head import HEAD_STREAM_ELEMS, head_streamed
 from dgcnn_tpu.ops.knn import banded_knn_indices, knn_indices
 from dgcnn_tpu.ops.norm import batch_norm_apply
@@ -444,10 +450,123 @@ def make_model(
                     gather_fn=_gather,
                 )
             else:
+                stacked = "extra" in blk_p  # block_convs >= 2
+                n_rows = idx.shape[-2]
+                # huge-N EVAL on the edge impl (the bf16 / block_convs>=2
+                # route): the materialized (..., N, k, C) gather is the
+                # binding allocation (measured 40 GB at 8M bf16) — stream
+                # the whole per-edge chain one neighbor slot at a time
+                # instead. Every op before the k-aggregation (add, BN with
+                # running stats, relu, stacked per-edge convs) is
+                # elementwise per edge, and max folds exactly in any
+                # order (jnp.maximum propagates NaN like the dense
+                # reduce), so in f32 the result is BITWISE the dense edge
+                # eval (pinned by test). In bf16 the two forms differ by
+                # ~1 bf16 ulp on a minority of elements — NOT a bug in
+                # either: XLA compiles with --xla_allow_excess_precision,
+                # so whether the bf16 add/matmul outputs round before the
+                # f32 BN upcast is fusion-shape-dependent (measured on
+                # CPU: the same pair of forms agrees or differs by 1 ulp
+                # depending on jit boundaries). Hence the threshold is
+                # EDGE_EVAL_STREAM_ELEMS = 2**31 gather elements — far
+                # above every measured-working dense bf16 regime (<= 1M
+                # points = 1.3e9), so streaming only engages where the
+                # dense gather physically cannot allocate and no working
+                # config's outputs change. Local gathers only; symbolic
+                # dims keep the dense form.
+                stream_edge_eval = (
+                    not train
+                    and gather_fn is None
+                    and isinstance(n_rows, int)
+                    and n_rows * idx.shape[-1] * q_feat.shape[-1]
+                    >= EDGE_EVAL_STREAM_ELEMS
+                )
+                if stream_edge_eval:
+
+                    def edge_chain_eval(hs):
+                        # one slot's (..., N, C) edge chain, eval mode
+                        hs, _ = batch_norm_apply(
+                            {
+                                "scale": blk_p["bn"]["scale"],
+                                "bias": blk_p["bn"]["bias"],
+                            },
+                            blk_s["main"] if stacked else blk_s,
+                            hs,
+                            None,
+                            train=False,
+                            momentum=spec.bn_momentum,
+                            axis_name=bn_axis,
+                            out_dtype=jnp.float32,
+                        )
+                        hs = jax.nn.relu(hs)
+                        if stacked:
+                            for ep, es in zip(blk_p["extra"], blk_s["extra"]):
+                                hs = jnp.einsum(
+                                    "...c,cd->...d",
+                                    hs.astype(cdtype),
+                                    ep["w"].astype(cdtype),
+                                    precision=precision,
+                                )
+                                hs, _ = batch_norm_apply(
+                                    {
+                                        "scale": ep["bn"]["scale"],
+                                        "bias": ep["bn"]["bias"],
+                                    },
+                                    es,
+                                    hs,
+                                    None,
+                                    train=False,
+                                    momentum=spec.bn_momentum,
+                                    axis_name=bn_axis,
+                                    out_dtype=jnp.float32,
+                                )
+                                hs = jax.nn.relu(hs)
+                        return hs
+
+                    def slot_h(s):
+                        rows = jax.lax.dynamic_index_in_dim(idx, s, axis=-1)
+                        return p_feat + jnp.take_along_axis(
+                            q_feat, rows, axis=-2
+                        )
+
+                    # the loop carry is the ONLY materialized (..., N, C)
+                    # tensor of this path — at 8M points its f32 copy got
+                    # a 2x lane-padded layout (a measured 4 G, the
+                    # binding allocation). Carry in compute dtype: the
+                    # cast is monotone, so max(cast(x_s)) ==
+                    # cast(max(x_s)) element-exactly — f32 models stay
+                    # BITWISE (cast is identity), bf16 halves the carry
+                    # and rounds once before the residual instead of
+                    # after (inside the path's documented ~1-ulp class).
+                    # Lane-packing the carry (the models.head trick) was
+                    # measured WORSE here: the reshape breaks the
+                    # slot-body fusion and both the f32 chain output and
+                    # the packed carry materialize (+1.8 G at 8M).
+                    acc = jax.lax.fori_loop(
+                        1,
+                        idx.shape[-1],
+                        lambda s, acc: jnp.maximum(
+                            acc, edge_chain_eval(slot_h(s)).astype(cdtype)
+                        ),
+                        edge_chain_eval(slot_h(0)).astype(cdtype),
+                    )
+                    y = acc.astype(jnp.float32)
+                    # eval-mode BN returns its state unchanged
+                    if spec.residual:
+                        shortcut = (
+                            dense_apply(
+                                blk_p["proj"], x,
+                                precision=precision, dtype=cdtype,
+                            )
+                            if "proj" in blk_p
+                            else x
+                        )
+                        y = y + shortcut.astype(y.dtype)
+                    return y.astype(cdtype), blk_s
+
                 h = p_feat[..., :, None, :] + _gather(q_feat, idx)  # (B,N,k,C_out)
 
                 bn_mask = None if edge_mask is None else edge_mask[..., None]
-                stacked = "extra" in blk_p  # block_convs >= 2
                 # post-BN chain (relu, max, residual add) stays f32: casting
                 # it to bf16 makes deep-stack gradients overflow (see
                 # ops.norm.batch_norm_apply); y is cast back at the block

@@ -268,3 +268,53 @@ def test_auto_threshold_boundary(monkeypatch):
     y_stream, _ = model.apply(params, state, pts, mask, train=False)
     assert calls, "auto must stream AT the threshold (>=, not >)"
     np.testing.assert_array_equal(np.asarray(y_dense), np.asarray(y_stream))
+
+
+@pytest.mark.parametrize(
+    "cdtype,block_convs",
+    [("bfloat16", 1), ("float32", 2), ("bfloat16", 2)],
+)
+def test_edge_eval_slot_streamed_bitwise(monkeypatch, cdtype, block_convs):
+    """The EDGE impl's eval path (the bf16 / block_convs>=2 route) streams
+    one neighbor slot at a time above EDGE_EVAL_STREAM_ELEMS — every
+    per-edge op (add, eval BN, relu, stacked convs) is elementwise and
+    max folds exactly (measured motivation: the dense gather is a 40 GB
+    allocation at 8M points bf16 — BASELINE.md frontier).
+
+    Contract: f32 is BITWISE the dense edge eval. bf16 agrees to ~1 bf16
+    ulp — XLA's --xla_allow_excess_precision makes the DENSE form's own
+    bf16-add rounding fusion-shape-dependent, so bitwise is not
+    well-defined there; the production threshold (2**31 gather elements)
+    keeps every regime where the dense form can actually allocate on the
+    dense path, so no working config's outputs change. The bf16 leg uses
+    ONE block: deeper stacks rebuild the dynamic graph from 1-ulp-shifted
+    features, which legitimately amplifies the difference unboundedly."""
+    import dgcnn_tpu.models.dgcnn as dg
+
+    nblocks = 1 if cdtype == "bfloat16" else 3
+    spec = ModelSpec(
+        num_class=3,
+        k=5,
+        edge_filters=(8,) * nblocks,
+        head_feat_dim=32,
+        head_mlp=(16,),
+        compute_dtype=cdtype,
+        block_convs=block_convs,
+    )
+    model = get_model("residual-dgcnn", spec)
+    params, state = model.init(jax.random.PRNGKey(5), 4)
+    pts, mask = _fixture(seed=11)
+
+    y_dense, _ = model.apply(params, state, pts, mask, train=False)
+    monkeypatch.setattr(dg, "EDGE_EVAL_STREAM_ELEMS", 1)
+    y_stream, _ = model.apply(params, state, pts, mask, train=False)
+    if cdtype == "float32":
+        np.testing.assert_array_equal(
+            np.asarray(y_dense), np.asarray(y_stream)
+        )
+    else:
+        np.testing.assert_allclose(
+            np.asarray(y_dense, np.float32),
+            np.asarray(y_stream, np.float32),
+            rtol=0.02, atol=0.05,
+        )
