@@ -47,6 +47,11 @@ ITERS = int(os.environ.get("P2M_ITERS", 3))
 MEMFIT = float(os.environ.get("P2M_MEMFIT", 0.0))
 HEAD_CHUNK = int(os.environ.get("P2M_HEAD_CHUNK", 0))
 HEAD_STREAM = os.environ.get("P2M_HEAD_STREAM", "on")
+BLOCK_SCAN = os.environ.get("P2M_BLOCK_SCAN", "auto")
+# 1 = drop the saved-knn_idx remat policy (re-run the kNN kernels in
+# backward, round-1 style): trades ~2x kNN time for the stacked saved
+# (L,B,N,k) int32 residuals — a memory arm for the allocator attack
+NO_SAVE_IDX = os.environ.get("P2M_NO_SAVE_IDX", "0") == "1"
 HEAD_FACTORIZED = os.environ.get("P2M_HEAD_FACTORIZED", "0") == "1"
 KNN_EVERY = int(os.environ.get("P2M_KNN_EVERY", 1))
 PRECISION = os.environ.get("P2M_PRECISION", "default")
@@ -61,6 +66,13 @@ import dgcnn_tpu.models.head as head_mod  # noqa: E402
 
 if HEAD_CHUNK:
     head_mod.HEAD_CHUNK_TARGET_ELEMS = HEAD_CHUNK
+if NO_SAVE_IDX:
+    # neutralize the checkpoint_name tag: save_only_these_names("knn_idx")
+    # then matches nothing and the remat policy recomputes the graph
+    # builds in backward instead of saving the stacked indices
+    import jax.ad_checkpoint
+
+    jax.ad_checkpoint.checkpoint_name = lambda x, name: x
 
 from dgcnn_tpu.config import Config  # noqa: E402
 from dgcnn_tpu.io import BucketBatcher, SyntheticIO  # noqa: E402
@@ -72,7 +84,7 @@ def main():
     tag = (
         f"N={N} W={WINDOW} memfit={MEMFIT} head_chunk={HEAD_CHUNK or 'def'} "
         f"hs={HEAD_STREAM} hf={int(HEAD_FACTORIZED)} ke={KNN_EVERY} "
-        f"prec={PRECISION}"
+        f"prec={PRECISION} bscan={BLOCK_SCAN} nsi={int(NO_SAVE_IDX)}"
     )
     cfg = Config(
         model_name="residual-dgcnn", num_class=2, kvalue=20,
@@ -80,6 +92,7 @@ def main():
         use_pallas=True, remat=True, knn_window=WINDOW,
         knn_every=KNN_EVERY, head_stream=HEAD_STREAM,
         head_factorized=HEAD_FACTORIZED, precision=PRECISION,
+        block_scan=BLOCK_SCAN,
     )
     tv = Trainval(cfg, mesh=make_mesh(1))
     state = tv.initialize(4)

@@ -458,6 +458,52 @@ def leg_head_stream():
     }
 
 
+def leg_block_scan():
+    """Scanned EdgeConv stack (--block_scan on) vs the unrolled loop:
+    EVAL must be bitwise on hardware.
+
+    The scan is the >=2M-row train regime's allocator lever (one
+    while-body reused across blocks instead of six unrolled backwards —
+    BASELINE.md 2M closure); its contract is that the body runs the
+    exact same per-block ops, so eval logits are bitwise the unrolled
+    stack's. A compiler upgrade fusing the scan body differently in
+    EVAL would surface here."""
+    import dataclasses
+
+    from dgcnn_tpu.models import ModelSpec, get_model
+
+    n = GATE_CONV_N
+    spec = ModelSpec(
+        num_class=2, k=20, edge_filters=(64,) * 6, head_feat_dim=1024,
+        head_mlp=(512, 256), global_pool=True,
+    )
+    model_u = get_model(
+        "residual-dgcnn", dataclasses.replace(spec, block_scan="off")
+    )
+    model_s = get_model(
+        "residual-dgcnn", dataclasses.replace(spec, block_scan="on")
+    )
+    params, state = model_u.init(jax.random.PRNGKey(7), 4)
+    rng = np.random.default_rng(13)
+    pts = jnp.asarray(rng.normal(size=(1, n, 4)).astype(np.float32))
+    mask = jnp.asarray(rng.random((1, n)) > 0.1)
+    y_u = np.asarray(
+        jax.jit(lambda p, s, x, m: model_u.apply(p, s, x, m, train=False)[0])(
+            params, state, pts, mask
+        )
+    )
+    y_s = np.asarray(
+        jax.jit(lambda p, s, x, m: model_s.apply(p, s, x, m, train=False)[0])(
+            params, state, pts, mask
+        )
+    )
+    return {
+        "blockscan_mismatches": int((y_u != y_s).sum()),
+        "blockscan_total": int(y_u.size),
+        "blockscan_max_abs_diff": float(np.abs(y_u - y_s).max()),
+    }
+
+
 def leg_convergence():
     """30-step flagship smoke: loss must drop by >30%."""
     from dgcnn_tpu.config import Config
@@ -500,6 +546,7 @@ def main():
         out.update(leg_rdma())
         out.update(leg_export(td))
         out.update(leg_head_stream())
+        out.update(leg_block_scan())
         out.update(leg_convergence())
     # near-tie allowance is BOUNDED (VERDICT r3 weak #4): the legitimate
     # 1-ulp expression-skew class measures ~1e-5 of slots on random data;
@@ -534,6 +581,11 @@ def main():
             out["headstream_mismatches"] == 0
             if out["backend"] != "cpu"
             else out["headstream_max_abs_diff"] <= 1e-5
+        )
+        and (
+            out["blockscan_mismatches"] == 0
+            if out["backend"] != "cpu"
+            else out["blockscan_max_abs_diff"] <= 1e-5
         )
         and out["conv_loss_end"] < 0.7 * out["conv_loss_start"]
     )

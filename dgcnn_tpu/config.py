@@ -130,6 +130,14 @@ class Config:
     # train stats differ only by f32 summation order), so unlike
     # head_factorized it is NOT adopted from checkpoints
     head_stream: str = "auto"
+    # run structurally-identical runs of EdgeConv blocks as ONE lax.scan
+    # over stacked params (models.dgcnn ModelSpec.block_scan): "auto"
+    # (default) engages in train mode at >= 2**21 rows (the measured line
+    # where the UNROLLED backward's per-block while-body temps fragment
+    # the allocator past one chip's HBM — the 2M-train enabler); "on"
+    # forces it; "off" never scans. NOT model-defining (same per-block
+    # ops — an implementation knob like block_impl)
+    block_scan: str = "auto"
     # EdgeConv block implementation: "auto" (default) silently picks the
     # fastest measured form for the config — "fused" for f32 depth-1
     # blocks (slot-loop custom-VJP backward: 9-15% faster train steps
@@ -174,6 +182,7 @@ class Config:
             block_convs=self.block_convs,
             head_factorized=self.head_factorized,
             head_stream=self.head_stream,
+            block_scan=self.block_scan,
         )
 
     def validate(self):
@@ -279,6 +288,7 @@ class Config:
             "ring_impl": ("ppermute", "rdma"),
             "block_impl": ("auto", "edge", "reduced", "fused"),
             "head_stream": ("auto", "on", "off"),
+            "block_scan": ("auto", "on", "off"),
         }
         # argparse `choices` only guards CLI-supplied values; --config
         # files and programmatic Configs land here instead (a typo like
@@ -428,6 +438,15 @@ def _add_common_flags(p: argparse.ArgumentParser):
                    "never. Eval output is bitwise the dense head's "
                    "(hardware-pinned), so NOT model-defining — an "
                    "implementation knob like block_impl")
+    g.add_argument("--block_scan", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="run structurally-identical EdgeConv block runs "
+                   "as one lax.scan over stacked params: auto = engage "
+                   "in train mode at the >=2**21-row frontier (2M+ "
+                   "points) where the unrolled backward fragments the "
+                   "allocator past HBM; on = force; off = never. Same "
+                   "per-block ops -> NOT model-defining (implementation "
+                   "knob like block_impl)")
     g.add_argument("--block_impl", default="auto",
                    choices=["auto", "edge", "reduced", "fused"],
                    help="EdgeConv block implementation: auto = fastest "

@@ -45,6 +45,16 @@ from dgcnn_tpu.ops.edge import (
 # every measured-working dense bf16 regime, engages only where the dense
 # (..., N, k, C) gather cannot allocate — 40 GB at 8M points bf16)
 EDGE_EVAL_STREAM_ELEMS = 2**31
+
+# rows (B*N) at or above which block_scan="auto" runs homogeneous EdgeConv
+# runs as one lax.scan in TRAIN mode: the measured line where the UNROLLED
+# backward stops fitting one chip — 1M-row f32 training works unrolled
+# (BASELINE.md frontier), 2M OOMs on ~39 interleaved per-block while-body
+# temps that buffer assignment refuses to overlap across the six unrolled
+# block backwards (43.8% fragmentation, 9.51 G live vs 15.75 G budget).
+# A scanned run has ONE while body, so those temps share buffers by
+# construction.
+BLOCK_SCAN_ROWS = 2**21
 from dgcnn_tpu.models.head import HEAD_STREAM_ELEMS, head_streamed
 from dgcnn_tpu.ops.knn import banded_knn_indices, knn_indices
 from dgcnn_tpu.ops.norm import batch_norm_apply
@@ -144,6 +154,23 @@ class ModelSpec:
     #   block_impl. A custom non-max pool_fn keeps the dense head
     #   regardless (the streamed pool decomposition assumes masked max;
     #   make_model warns if "on" was requested).
+
+    block_scan: str = "auto"  # run maximal structurally-identical runs of
+    #   EdgeConv blocks (same param/state tree: the homogeneous 64->64
+    #   tail of the flagship) as ONE lax.scan over stacked params instead
+    #   of an unrolled Python loop. Every scanned block then shares a
+    #   single while-body whose buffers XLA's assignment must reuse
+    #   across iterations — the structural answer to the 2M-train
+    #   allocator fragmentation (BASELINE.md: the unrolled form's
+    #   per-block backward temps are placed without cross-while reuse).
+    #   "auto" (default) engages in TRAIN mode at >= BLOCK_SCAN_ROWS rows
+    #   (the measured unrolled OOM line; every smaller regime keeps the
+    #   unrolled form that all round-2/3 numbers were measured on) and
+    #   never for symbolic dims; "on" forces it; "off" never scans.
+    #   NOT model-defining: the scanned body runs the exact same per-block
+    #   ops — eval predictions match the unrolled form (pinned by test)
+    #   and train differs at most by XLA fusion-level f32 rounding, the
+    #   block_impl reassociation class.
 
     block_convs: int = 1  # stacked shared-MLP convs per EdgeConv block.
     #   SURVEY.md §0.6 step 3 tags the reference's per-block depth [M]
@@ -278,6 +305,11 @@ def make_model(
         raise ValueError(
             f"head_stream must be 'auto', 'on' or 'off', got "
             f"{spec.head_stream!r}"
+        )
+    if spec.block_scan not in ("auto", "on", "off"):
+        raise ValueError(
+            f"block_scan must be 'auto', 'on' or 'off', got "
+            f"{spec.block_scan!r}"
         )
     if (
         spec.head_stream == "on"
@@ -634,14 +666,118 @@ def make_model(
                 ),
             )
 
+        if spec.block_scan == "on":
+            use_block_scan = True
+        elif spec.block_scan == "off":
+            use_block_scan = False
+        else:
+            # "auto": engage only at the huge-N TRAIN frontier where the
+            # UNROLLED backward's per-block while-body temps fragment the
+            # allocator past the HBM budget (measured at 2M rows —
+            # BASELINE.md 2M-train closure); every smaller regime keeps
+            # the unrolled form all prior rounds' numbers were measured
+            # on. Symbolic dims (shape-polymorphic export) stay unrolled.
+            rows = 1
+            for d in points.shape[:-1]:
+                if not isinstance(d, int):
+                    rows = 0
+                    break
+                rows *= d
+            use_block_scan = train and rows >= BLOCK_SCAN_ROWS
+
+        def _struct(bp, bs):
+            leaves, treedef = jax.tree_util.tree_flatten((bp, bs))
+            return treedef, tuple(
+                (leaf.shape, jnp.dtype(leaf.dtype)) for leaf in leaves
+            )
+
+        # group consecutive blocks with identical param/state structure
+        # (e.g. the flagship's homogeneous 64->64 tail; block 1 differs by
+        # its input width and optional residual proj): runs of length >= 2
+        # execute as one lax.scan over stacked params when scanning is on
+        runs = []  # [start_index, count]
+        prev_struct = None
+        for i, (bp, bs) in enumerate(zip(params["blocks"], state["blocks"])):
+            sk = _struct(bp, bs) if use_block_scan else None
+            if use_block_scan and runs and sk == prev_struct:
+                runs[-1][1] += 1
+            else:
+                runs.append([i, 1])
+            prev_struct = sk
+
         idx = None
-        for i, (blk_p, blk_s) in enumerate(zip(params["blocks"], state["blocks"])):
-            if i % spec.knn_every == 0:
-                idx = build_graph(x)  # dynamic graph from current features
-            y, bn_s = block_fn(x, idx, blk_p, blk_s)
-            new_state["blocks"].append(bn_s)
-            block_feats.append(y)
-            x = y
+        for start, count in runs:
+            if count == 1:
+                blk_p = params["blocks"][start]
+                blk_s = state["blocks"][start]
+                if start % spec.knn_every == 0:
+                    idx = build_graph(x)  # dynamic graph from current features
+                y, bn_s = block_fn(x, idx, blk_p, blk_s)
+                new_state["blocks"].append(bn_s)
+                block_feats.append(y)
+                x = y
+                continue
+            # scanned run: stack params/states along a new leading axis;
+            # the body applies the SAME per-block ops as the unrolled loop
+            pstack = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *params["blocks"][start:start + count]
+            )
+            sstack = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *state["blocks"][start:start + count]
+            )
+            rebuilds = [
+                (start + t) % spec.knn_every == 0 for t in range(count)
+            ]
+            if idx is None:
+                # the run starts at block 0, which always rebuilds
+                # (0 % knn_every == 0) — seed the carry with a correctly
+                # shaped dummy that is never read
+                idx0 = jnp.zeros(x.shape[:-1] + (spec.k,), jnp.int32)
+            else:
+                idx0 = idx
+            if all(rebuilds):
+
+                def body(carry, xs):
+                    xc, _ = carry
+                    idx2 = build_graph(xc)
+                    y, bn_s = block_fn(xc, idx2, xs["p"], xs["s"])
+                    return (y, idx2), (y, bn_s)
+
+                xs_in = {"p": pstack, "s": sstack}
+            elif not any(rebuilds):
+
+                def body(carry, xs):
+                    xc, idxc = carry
+                    y, bn_s = block_fn(xc, idxc, xs["p"], xs["s"])
+                    return (y, idxc), (y, bn_s)
+
+                xs_in = {"p": pstack, "s": sstack}
+            else:
+                # mixed rebuild/reuse inside the run (knn_every > 1):
+                # decide per iteration on the traced block index
+                def body(carry, xs):
+                    xc, idxc = carry
+                    idx2 = jax.lax.cond(
+                        xs["i"] % spec.knn_every == 0,
+                        lambda xc, idxc: build_graph(xc),
+                        lambda xc, idxc: idxc,
+                        xc,
+                        idxc,
+                    )
+                    y, bn_s = block_fn(xc, idx2, xs["p"], xs["s"])
+                    return (y, idx2), (y, bn_s)
+
+                xs_in = {
+                    "p": pstack,
+                    "s": sstack,
+                    "i": jnp.arange(start, start + count, dtype=jnp.int32),
+                }
+            (x, idx), (ys, bn_stack) = jax.lax.scan(body, (x, idx0), xs_in)
+            for t in range(count):
+                block_feats.append(ys[t])
+                new_state["blocks"].append(
+                    jax.tree_util.tree_map(lambda a, _t=t: a[_t], bn_stack)
+                )
 
         # the streamed pool decomposition assumes masked-MAX pooling (the
         # model default and both CP pools); a custom non-max pool_fn keeps

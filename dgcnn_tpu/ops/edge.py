@@ -271,6 +271,22 @@ def gathered_stats(p: jax.Array, q: jax.Array, idx: jax.Array, w, gsign):
 # headline regimes on the fused traversal.
 SLOT_STREAM_ELEMS = 2**27
 
+# rows (bl*N) above which the fused backward's per-slot scatter updates
+# are built and applied in N-chunks. The slot loop's `win`/`upd` temps
+# are full-width (bl, N, C/C+1) buffers that XLA lays out C-minor for
+# the scatter and lane-pads 2.0x (64/65 -> 128 lanes) — at 1.75M-point
+# events they are four ~0.9 G allocations, and the whole scanned train
+# step plateaued at 15.76 G vs the 15.75 G budget across FOUR different
+# knob combinations (head chunk 32M/16M, memfit 1.0, W=2048 — all
+# identical, BASELINE.md 2M closure). Chunking halves/quarters exactly
+# those buffers. Threshold = the largest measured-working unchunked
+# single-chip regime (1.5M rows trains at 13.6 s unchunked): chunking
+# only engages where the unchunked form could not run anyway. Per-
+# destination scatter-add order changes across chunk boundaries — the
+# same unspecified-order class as the scatter itself (gradients are
+# float-tolerance vs other impls either way; eval has no scatter).
+SCATTER_CHUNK_ROWS = 1_572_864
+
 
 def _fwd_reductions(q, idx):
     """max/argmax/min/argmin + per-query neighbor sums of ``g = q[idx]``.
@@ -476,12 +492,32 @@ def _gathered_stats_bwd(res, cot):
     )
     brow = jnp.arange(bl)[:, None]
 
+    # chunk the per-slot updates over N above SCATTER_CHUNK_ROWS (see
+    # the constant's rationale): same scatter-add totals, 1/n_chunks the
+    # win/upd buffer footprint. n_chunks must divide N statically.
+    n_chunks = 1
+    if isinstance(ni, int):
+        while (
+            ni % (n_chunks * 2) == 0
+            and bl * ni // n_chunks > SCATTER_CHUNK_ROWS
+        ):
+            n_chunks *= 2
+    step = ni // n_chunks
+
     def one_slot(s, acc):
         si = s.astype(aw2.dtype)  # winners stored narrow (uint8)
-        win = jnp.where(aw2 == si, dm2, 0.0)
-        upd = base + jnp.pad(win, ((0, 0), (0, 0), (0, 1)))
-        rows = jax.lax.dynamic_index_in_dim(idx2, s, axis=-1)  # (bl, N, 1)
-        return acc.at[brow, rows[..., 0]].add(upd, mode="promise_in_bounds")
+        rows_s = jax.lax.dynamic_index_in_dim(idx2, s, axis=-1)  # (bl, N, 1)
+
+        def add_chunk(acc, sl):
+            win = jnp.where(aw2[:, sl] == si, dm2[:, sl], 0.0)
+            upd = base[:, sl] + jnp.pad(win, ((0, 0), (0, 0), (0, 1)))
+            return acc.at[brow, rows_s[:, sl, 0]].add(
+                upd, mode="promise_in_bounds"
+            )
+
+        for ci in range(n_chunks):
+            acc = add_chunk(acc, slice(ci * step, (ci + 1) * step))
+        return acc
 
     # derive the zero carry from a varying operand (a fresh jnp.zeros is
     # unvarying under shard_map and fails the scan-vma carry check once

@@ -458,3 +458,36 @@ def test_slot_streamed_eval_matches_dense(monkeypatch):
         assert calls, "custom gather_fn bypassed"
         np.testing.assert_array_equal(np.asarray(y_dense), np.asarray(y_g))
         monkeypatch.undo()
+
+
+def test_fused_backward_chunked_scatter_matches(monkeypatch):
+    """The N-chunked per-slot scatter (SCATTER_CHUNK_ROWS — the >1.5M-row
+    allocator lever: win/upd buffers shrink 1/n_chunks) must reproduce
+    the unchunked backward's gradients. Same scatter-add totals; the
+    per-destination add order across chunk boundaries is the scatter's
+    own unspecified-order class, so gradients are pinned at float
+    tolerance (measured bitwise-equal on CPU at this size)."""
+    import dgcnn_tpu.ops.edge as edge_mod
+    from dgcnn_tpu.ops.edge import edgeconv_block_fused
+
+    p, q, bnp, bn_state, idx, mask = _block_fixture(seed=31)
+    idx = idx.at[:, :, 1].set(idx[:, :, 0])  # duplicate slots force ties
+    for m in (None, mask):
+
+        def loss(p, q, scale, bias):
+            y, _ = edgeconv_block_fused(
+                p, q, {"scale": scale, "bias": bias}, bn_state, idx, m,
+                train=True,
+            )
+            return jnp.mean(jnp.square(y))
+
+        args = (p, q, bnp["scale"], bnp["bias"])
+        g_ref = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+        # force chunking: rows must split until <= threshold
+        monkeypatch.setattr(edge_mod, "SCATTER_CHUNK_ROWS", 16)
+        g_chk = jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+        monkeypatch.undo()
+        for a, b_ in zip(g_ref, g_chk):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-7
+            )

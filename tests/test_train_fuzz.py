@@ -48,6 +48,7 @@ def test_train_step_finite_under_fuzz(case):
         precision=str(rng.choice(["highest", "bfloat16"])),
         block_impl=str(rng.choice(["auto", "edge", "reduced", "fused"])),
         block_convs=int(rng.choice([1, 1, 2])),
+        block_scan=str(rng.choice(["auto", "on", "off"])),
         seed=case,
     )
     tv = Trainval(cfg)
@@ -101,6 +102,7 @@ def test_train_step_finite_under_cp_fuzz(case):
         # under the exact ring; explicit fused falls through to reduced
         # on the exact ring — all four must stay finite either way
         block_impl=str(rng.choice(["auto", "edge", "reduced", "fused"])),
+        block_scan=str(rng.choice(["auto", "on", "off"])),
         seed=case,
     )
     cfg.validate()
