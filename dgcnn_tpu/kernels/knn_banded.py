@@ -65,6 +65,13 @@ TILE_ORDER_DEFAULT = "diag_first"
 def _resolve_merge_chunk(merge_chunk, block_t: int) -> int:
     """Clamp the extraction-chunk width to [128, block_t], multiple of
     128 lanes; None picks the measured default."""
+    if block_t % 128:
+        # the kernel's tile DMAs, band masks and extraction loop all
+        # assume lane-aligned tiles; a misaligned block_t would also send
+        # the clamp loop below to zero (block_t % 0)
+        raise ValueError(
+            f"block_t must be a multiple of 128 lanes, got {block_t}"
+        )
     mc = merge_chunk if merge_chunk is not None else MERGE_CHUNK_DEFAULT
     if mc is None:
         mc = block_t

@@ -483,7 +483,17 @@ def make_model(
                 )
             else:
                 stacked = "extra" in blk_p  # block_convs >= 2
-                n_rows = idx.shape[-2]
+                # total gather elements of the (..., N, k, C) tensor —
+                # accumulate over ALL dims of idx (leading batch dims
+                # included: a (B, N, k, C) dense gather is B x the
+                # per-event size), symbolic dims keep the dense form
+                # (same guard as the head_stream/block_scan auto paths)
+                gather_elems = q_feat.shape[-1]
+                for d in idx.shape:
+                    if not isinstance(d, int):
+                        gather_elems = 0
+                        break
+                    gather_elems *= d
                 # huge-N EVAL on the edge impl (the bf16 / block_convs>=2
                 # route): the materialized (..., N, k, C) gather is the
                 # binding allocation (measured 40 GB at 8M bf16) — stream
@@ -509,9 +519,7 @@ def make_model(
                 stream_edge_eval = (
                     not train
                     and gather_fn is None
-                    and isinstance(n_rows, int)
-                    and n_rows * idx.shape[-1] * q_feat.shape[-1]
-                    >= EDGE_EVAL_STREAM_ELEMS
+                    and gather_elems >= EDGE_EVAL_STREAM_ELEMS
                 )
                 if stream_edge_eval:
 
@@ -731,8 +739,13 @@ def make_model(
             if idx is None:
                 # the run starts at block 0, which always rebuilds
                 # (0 % knn_every == 0) — seed the carry with a correctly
-                # shaped dummy that is never read
-                idx0 = jnp.zeros(x.shape[:-1] + (spec.k,), jnp.int32)
+                # shaped dummy that is never read. Derive a varying zero
+                # from the data (the models.head vz trick): under
+                # shard_map a constant init is unvarying while the scan
+                # body's build_graph output is varying, and lax.scan's
+                # carry vma check rejects the mismatch at trace time
+                vz = (x[..., :1].sum() * 0).astype(jnp.int32)
+                idx0 = jnp.zeros(x.shape[:-1] + (spec.k,), jnp.int32) + vz
             else:
                 idx0 = idx
             if all(rebuilds):

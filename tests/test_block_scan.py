@@ -203,6 +203,42 @@ def test_scan_train_step_under_shard_map():
     np.testing.assert_allclose(losses[1], losses[2], rtol=2e-4)
 
 
+@pytest.mark.parametrize("point_shards", [1, 2])
+def test_scan_run_starting_at_block0_under_shard_map(point_shards):
+    """A scanned run that STARTS at block 0 (in_dim == edge_filters[0],
+    residual without proj -> block 0 is structurally identical to the
+    tail) seeds the scan carry with the dummy idx0. Under shard_map a
+    constant init is unvarying while the body's build_graph output is
+    varying — lax.scan's carry vma check rejects that at trace time
+    unless the dummy is data-derived (the models.head vz trick). Pinned
+    here under DP and banded CP; advisor round-4 finding."""
+    from dgcnn_tpu.config import Config
+    from dgcnn_tpu.io import BucketBatcher, SyntheticIO
+    from dgcnn_tpu.parallel.mesh import make_mesh
+    from dgcnn_tpu.train import Trainval
+
+    n, b = 64, 2
+    # input features are 4-wide (x, y, z, value): edge_filters[0] == 4
+    # puts block 0 in the same structural class as the tail
+    kw = dict(
+        model_name="residual-dgcnn", num_class=2, kvalue=4,
+        edge_filters=(4, 4, 4), minibatch_size=b, num_point=n,
+        use_pallas=False, block_scan="on", knn_window=16,
+    )
+    io = SyntheticIO(num_events=b, num_point=n, seed=0).initialize()
+    batch = next(BucketBatcher(io, b, num_point=n, shuffle=False).epoch())
+
+    nd = 2 * point_shards
+    tv = Trainval(
+        Config(**kw, num_devices=nd, point_shards=point_shards),
+        mesh=make_mesh(nd, num_point_shards=point_shards),
+    )
+    s = tv.initialize(4)
+    for _ in range(2):
+        s, m = tv.train_step(s, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_scan_under_banded_cp():
     """Banded CP with the scanned stack: the halo exchange + local
     gather decomposition must ride inside the scan body; eval logits at

@@ -318,3 +318,45 @@ def test_edge_eval_slot_streamed_bitwise(monkeypatch, cdtype, block_convs):
             np.asarray(y_stream, np.float32),
             rtol=0.02, atol=0.05,
         )
+
+
+def test_edge_eval_stream_threshold_counts_batch_dims(monkeypatch):
+    """EDGE_EVAL_STREAM_ELEMS is documented as TOTAL gather elements of
+    the (..., N, k, C) tensor — the threshold must accumulate the
+    leading batch dims (a (B, N, k, C) dense gather is B x the per-event
+    size; advisor round-4 finding). Pinned with a fori_loop spy exactly
+    at / one above the fixture's own B*N*k*C."""
+    import dgcnn_tpu.models.dgcnn as dg
+
+    spec = ModelSpec(
+        num_class=3,
+        k=5,
+        edge_filters=(8,),
+        head_feat_dim=32,
+        head_mlp=(16,),
+        compute_dtype="bfloat16",  # bf16 -> the edge impl
+    )
+    model = get_model("residual-dgcnn", spec)
+    params, state = model.init(jax.random.PRNGKey(5), 4)
+    pts, mask = _fixture(seed=11)
+    b, n = pts.shape[0], pts.shape[1]
+    elems = b * n * spec.k * spec.edge_filters[0]
+
+    calls = []
+    orig = jax.lax.fori_loop
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(dg.jax.lax, "fori_loop", spy)
+
+    monkeypatch.setattr(dg, "EDGE_EVAL_STREAM_ELEMS", elems + 1)
+    model.apply(params, state, pts, mask, train=False)
+    assert not calls, "dense edge eval below the total-elements threshold"
+
+    monkeypatch.setattr(dg, "EDGE_EVAL_STREAM_ELEMS", elems)
+    model.apply(params, state, pts, mask, train=False)
+    assert calls, (
+        "streaming must engage AT total (batch-inclusive) gather elements"
+    )

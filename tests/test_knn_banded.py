@@ -337,3 +337,12 @@ def test_trainval_banded_train_step_runs():
     )
     state, metrics = tv.train_step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_block_t_must_be_lane_aligned():
+    """Non-128-multiple block_t is rejected with a clear error instead of
+    the merge-chunk clamp loop decrementing to a ZeroDivisionError
+    (advisor round-4 finding)."""
+    xs, ms = _sorted_cloud(n=512)
+    with pytest.raises(ValueError, match="128"):
+        knn_pallas_banded(xs, 8, ms, window=128, interpret=True, block_t=200)
