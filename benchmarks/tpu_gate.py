@@ -29,6 +29,10 @@ Legs:
            vs the dense head, eval mode (expect bitwise 0 diff on TPU;
            the CPU smoke gates on <=1e-5 — CPU dots block K differently
            inside scans)
+  scanchunk  train step with block_scan=on AND the N-chunked fused-
+           backward scatter forced ENGAGED (threshold lowered for the
+           leg) vs the unrolled/unchunked form: gradient agreement to
+           the f32 reassociation class (<= 1e-3 max rel diff)
   conv     30-step convergence smoke on the flagship model (loss must
            drop by >30%)
 
@@ -504,6 +508,68 @@ def leg_block_scan():
     }
 
 
+def leg_scan_chunk_grad():
+    """Train-path gate for the >=2M-row levers TOGETHER (VERDICT r4 #2):
+    block_scan=on AND the N-chunked fused-backward scatter ENGAGED
+    (ops.edge.SCATTER_CHUNK_ROWS forced down to rows/4 for the leg —
+    production engagement is 1.5M rows, unreachable in a minutes-long
+    gate) vs the unrolled, unchunked form at the same shapes. Both arms
+    run the frontier composition (banded window + remat + fused blocks);
+    gradients must agree to the f32 reassociation class — the scan
+    reassociates BN batch stats, the chunked scatter reassociates
+    per-destination adds across chunk boundaries; a REAL break (wrong
+    slot mask, chunk offset bug) lands orders of magnitude above the
+    gate line."""
+    import dataclasses
+
+    import dgcnn_tpu.ops.edge as edge_mod
+    from dgcnn_tpu.models import ModelSpec, get_model
+
+    n, b = GATE_CONV_N, 2
+    spec = ModelSpec(
+        num_class=2, k=20, edge_filters=(64,) * 6, head_feat_dim=1024,
+        head_mlp=(512, 256), global_pool=True, remat=True,
+        knn_window=max(n // 4, 128),
+    )
+    model_u = get_model(
+        "residual-dgcnn", dataclasses.replace(spec, block_scan="off")
+    )
+    model_s = get_model(
+        "residual-dgcnn", dataclasses.replace(spec, block_scan="on")
+    )
+    params, state = model_u.init(jax.random.PRNGKey(17), 4)
+    rng = np.random.default_rng(19)
+    pts = jnp.asarray(rng.normal(size=(b, n, 4)).astype(np.float32))
+    mask = jnp.asarray(rng.random((b, n)) > 0.1)
+
+    def loss_fn(p, model):
+        logits, _ = model.apply(p, state, pts, mask, train=True)
+        return jnp.mean(jnp.square(logits))
+
+    g_u = jax.jit(jax.grad(lambda p: loss_fn(p, model_u)))(params)
+    orig = edge_mod.SCATTER_CHUNK_ROWS
+    edge_mod.SCATTER_CHUNK_ROWS = (b * n) // 4  # -> n_chunks == 4
+    try:
+        n_chunks = edge_mod._resolve_scatter_chunks(b, n)
+        g_s = jax.jit(jax.grad(lambda p: loss_fn(p, model_s)))(params)
+    finally:
+        edge_mod.SCATTER_CHUNK_ROWS = orig
+    # one global scale: per-leaf ratios explode on near-zero leaves
+    # (e.g. a proj bias grad at 1e-9 under 1e-6 reassociation noise),
+    # while any real break corrupts the O(0.1) block/head weight grads
+    err = scale = 0.0
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(g_u), jax.tree_util.tree_leaves(g_s)
+    ):
+        a, b_ = np.asarray(a, np.float64), np.asarray(b_, np.float64)
+        err = max(err, float(np.abs(a - b_).max()))
+        scale = max(scale, float(np.abs(a).max()))
+    return {
+        "scanchunk_grad_max_rel_diff": err / (scale + 1e-12),
+        "scanchunk_chunks": n_chunks,
+    }
+
+
 def leg_convergence():
     """30-step flagship smoke: loss must drop by >30%."""
     from dgcnn_tpu.config import Config
@@ -547,6 +613,7 @@ def main():
         out.update(leg_export(td))
         out.update(leg_head_stream())
         out.update(leg_block_scan())
+        out.update(leg_scan_chunk_grad())
         out.update(leg_convergence())
     # near-tie allowance is BOUNDED (VERDICT r3 weak #4): the legitimate
     # 1-ulp expression-skew class measures ~1e-5 of slots on random data;
@@ -587,6 +654,10 @@ def main():
             if out["backend"] != "cpu"
             else out["blockscan_max_abs_diff"] <= 1e-5
         )
+        # reassociation-class noise measures ~1e-5 rel; a real chunk/
+        # scan break (wrong slot mask, chunk offset) is O(1)
+        and out["scanchunk_grad_max_rel_diff"] <= 1e-3
+        and out["scanchunk_chunks"] >= 2
         and out["conv_loss_end"] < 0.7 * out["conv_loss_start"]
     )
     print(json.dumps(out), flush=True)

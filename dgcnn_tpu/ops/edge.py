@@ -288,6 +288,22 @@ SLOT_STREAM_ELEMS = 2**27
 SCATTER_CHUNK_ROWS = 1_572_864
 
 
+def _resolve_scatter_chunks(bl, ni) -> int:
+    """Number of N-chunks the fused backward's per-slot scatter updates
+    split into (1 = unchunked). Trace-time static; symbolic ni stays
+    unchunked. Factored out so the hardware gate can report the chunk
+    count its forced-threshold leg actually engages
+    (benchmarks/tpu_gate.py leg_scan_chunk_grad)."""
+    n_chunks = 1
+    if isinstance(ni, int):
+        while (
+            ni % (n_chunks * 2) == 0
+            and bl * ni // n_chunks > SCATTER_CHUNK_ROWS
+        ):
+            n_chunks *= 2
+    return n_chunks
+
+
 def _fwd_reductions(q, idx):
     """max/argmax/min/argmin + per-query neighbor sums of ``g = q[idx]``.
 
@@ -495,13 +511,7 @@ def _gathered_stats_bwd(res, cot):
     # chunk the per-slot updates over N above SCATTER_CHUNK_ROWS (see
     # the constant's rationale): same scatter-add totals, 1/n_chunks the
     # win/upd buffer footprint. n_chunks must divide N statically.
-    n_chunks = 1
-    if isinstance(ni, int):
-        while (
-            ni % (n_chunks * 2) == 0
-            and bl * ni // n_chunks > SCATTER_CHUNK_ROWS
-        ):
-            n_chunks *= 2
+    n_chunks = _resolve_scatter_chunks(bl, ni)
     step = ni // n_chunks
 
     def one_slot(s, acc):
