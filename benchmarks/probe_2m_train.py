@@ -56,6 +56,12 @@ HEAD_FACTORIZED = os.environ.get("P2M_HEAD_FACTORIZED", "0") == "1"
 KNN_EVERY = int(os.environ.get("P2M_KNN_EVERY", 1))
 PRECISION = os.environ.get("P2M_PRECISION", "default")
 FULL_ERR = os.environ.get("P2M_FULL_ERR", "0") == "1"
+# 1 = lane-pack the fused backward's scatter-loop residents (dm/aw/base)
+# as (bl, N*C/128, 128) — the models/head.py trick applied at the
+# boundary the 2M closure blames for two ~0.9 G relayout copies
+SCATTER_PACK = os.environ.get("P2M_SCATTER_PACK", "0") == "1"
+# 0 = keep the default; else force ops.edge.SCATTER_CHUNK_ROWS
+SCATTER_CHUNK = int(os.environ.get("P2M_SCATTER_CHUNK", 0))
 
 if MEMFIT:
     jax.config.update("jax_memory_fitting_effort", MEMFIT)
@@ -64,8 +70,14 @@ import numpy as np  # noqa: E402
 
 import dgcnn_tpu.models.head as head_mod  # noqa: E402
 
+import dgcnn_tpu.ops.edge as edge_mod  # noqa: E402
+
 if HEAD_CHUNK:
     head_mod.HEAD_CHUNK_TARGET_ELEMS = HEAD_CHUNK
+if SCATTER_PACK:
+    edge_mod.SCATTER_PACK_OPERANDS = True
+if SCATTER_CHUNK:
+    edge_mod.SCATTER_CHUNK_ROWS = SCATTER_CHUNK
 if NO_SAVE_IDX:
     # neutralize the checkpoint_name tag: save_only_these_names("knn_idx")
     # then matches nothing and the remat policy recomputes the graph
@@ -84,7 +96,8 @@ def main():
     tag = (
         f"N={N} W={WINDOW} memfit={MEMFIT} head_chunk={HEAD_CHUNK or 'def'} "
         f"hs={HEAD_STREAM} hf={int(HEAD_FACTORIZED)} ke={KNN_EVERY} "
-        f"prec={PRECISION} bscan={BLOCK_SCAN} nsi={int(NO_SAVE_IDX)}"
+        f"prec={PRECISION} bscan={BLOCK_SCAN} nsi={int(NO_SAVE_IDX)} "
+        f"spack={int(SCATTER_PACK)} schunk={SCATTER_CHUNK or 'def'}"
     )
     cfg = Config(
         model_name="residual-dgcnn", num_class=2, kvalue=20,

@@ -287,6 +287,12 @@ SLOT_STREAM_ELEMS = 2**27
 # float-tolerance vs other impls either way; eval has no scatter).
 SCATTER_CHUNK_ROWS = 1_572_864
 
+# experimental: lane-pack the fused backward's loop residents (see the
+# `pack` block in _gathered_stats_bwd). A probe knob for the 2M-train
+# allocator attack, NOT a shipped default — flip only via
+# benchmarks/probe_2m_train.py (P2M_SCATTER_PACK=1).
+SCATTER_PACK_OPERANDS = False
+
 
 def _resolve_scatter_chunks(bl, ni) -> int:
     """Number of N-chunks the fused backward's per-slot scatter updates
@@ -514,19 +520,52 @@ def _gathered_stats_bwd(res, cot):
     n_chunks = _resolve_scatter_chunks(bl, ni)
     step = ni // n_chunks
 
+    # experimental probe knob (VERDICT r4 #3): hold the loop residents
+    # (dm2/aw2/base — sub-128-lane C-minor arrays the 2M closure blames
+    # for two ~0.9 G 2.0x-lane-padded boundary relayout copies) LANE-
+    # PACKED as (bl, N*C/128, 128), slicing + reshaping back per chunk
+    # (models/head.py's eval trick). Element-order-preserving, so the
+    # scatter-add totals are unchanged. Flip via
+    # P2M_SCATTER_PACK=1 benchmarks/probe_2m_train.py.
+    pack = (
+        SCATTER_PACK_OPERANDS
+        and isinstance(ni, int)
+        and (step * c) % 128 == 0
+        and (step * (c + 1)) % 128 == 0
+    )
+    if pack:
+        dm2_pk = dm2.reshape(bl, ni * c // 128, 128)
+        aw2_pk = aw2.reshape(bl, ni * c // 128, 128)
+        base_pk = base.reshape(bl, ni * (c + 1) // 128, 128)
+
+        def _chunk(a_pk, c_, ci):
+            rows = step * c_ // 128
+            return a_pk[:, ci * rows : (ci + 1) * rows].reshape(
+                bl, step, c_
+            )
+
     def one_slot(s, acc):
         si = s.astype(aw2.dtype)  # winners stored narrow (uint8)
         rows_s = jax.lax.dynamic_index_in_dim(idx2, s, axis=-1)  # (bl, N, 1)
 
-        def add_chunk(acc, sl):
-            win = jnp.where(aw2[:, sl] == si, dm2[:, sl], 0.0)
-            upd = base[:, sl] + jnp.pad(win, ((0, 0), (0, 0), (0, 1)))
+        def add_chunk(acc, ci):
+            sl = slice(ci * step, (ci + 1) * step)
+            if pack:
+                win = jnp.where(
+                    _chunk(aw2_pk, c, ci) == si, _chunk(dm2_pk, c, ci), 0.0
+                )
+                upd = _chunk(base_pk, c + 1, ci) + jnp.pad(
+                    win, ((0, 0), (0, 0), (0, 1))
+                )
+            else:
+                win = jnp.where(aw2[:, sl] == si, dm2[:, sl], 0.0)
+                upd = base[:, sl] + jnp.pad(win, ((0, 0), (0, 0), (0, 1)))
             return acc.at[brow, rows_s[:, sl, 0]].add(
                 upd, mode="promise_in_bounds"
             )
 
         for ci in range(n_chunks):
-            acc = add_chunk(acc, slice(ci * step, (ci + 1) * step))
+            acc = add_chunk(acc, ci)
         return acc
 
     # derive the zero carry from a varying operand (a fresh jnp.zeros is
