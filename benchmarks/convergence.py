@@ -35,14 +35,26 @@ NUM_EVENTS = int(os.environ.get("CONV_EVENTS", 32))
 REMAT = os.environ.get("CONV_REMAT", "0") == "1"
 BLOCK_SCAN = os.environ.get("CONV_BLOCK_SCAN", "auto")
 HEAD_STREAM = os.environ.get("CONV_HEAD_STREAM", "auto")
+# Force the N-chunked fused-backward scatter at pin scale (VERDICT r4 #4:
+# the convergence pin for block_scan should also exercise the chunked
+# scatter, whose default threshold only engages >1.5M rows). Value =
+# SCATTER_CHUNK_ROWS override; at the pinned 4x4096 config, 4096 yields
+# 4 chunks per _resolve_scatter_chunks.
+SCATTER_CHUNK = int(os.environ.get("CONV_SCATTER_CHUNK", 0))
 
 
 def run(steps=STEPS, n_point=N, edge_filters=(64,) * 6, head=(1024, (512, 256)),
         minibatch=MINIBATCH, num_events=NUM_EVENTS, kvalue=20, seed=SEED,
         use_pallas=True, num_devices=0, knn_every=KNN_EVERY,
         knn_window=KNN_WINDOW, head_factorized=HEAD_FACTORIZED,
-        remat=REMAT, block_scan=BLOCK_SCAN, head_stream=HEAD_STREAM):
+        remat=REMAT, block_scan=BLOCK_SCAN, head_stream=HEAD_STREAM,
+        scatter_chunk=SCATTER_CHUNK):
     import jax
+
+    if scatter_chunk:
+        from dgcnn_tpu.ops import edge as _edge_mod
+
+        _edge_mod.SCATTER_CHUNK_ROWS = scatter_chunk
 
     from dgcnn_tpu.config import Config
     from dgcnn_tpu.io import BucketBatcher, SyntheticIO
