@@ -54,8 +54,24 @@ def run(steps=STEPS, n_point=N, edge_filters=(64,) * 6, head=(1024, (512, 256)),
     if scatter_chunk:
         from dgcnn_tpu.ops import edge as _edge_mod
 
+        _saved_chunk = _edge_mod.SCATTER_CHUNK_ROWS
         _edge_mod.SCATTER_CHUNK_ROWS = scatter_chunk
+        try:
+            return _run_body(
+                steps, n_point, edge_filters, head, minibatch, num_events,
+                kvalue, seed, use_pallas, num_devices, knn_every, knn_window,
+                head_factorized, remat, block_scan, head_stream)
+        finally:
+            _edge_mod.SCATTER_CHUNK_ROWS = _saved_chunk
+    return _run_body(
+        steps, n_point, edge_filters, head, minibatch, num_events, kvalue,
+        seed, use_pallas, num_devices, knn_every, knn_window,
+        head_factorized, remat, block_scan, head_stream)
 
+
+def _run_body(steps, n_point, edge_filters, head, minibatch, num_events,
+              kvalue, seed, use_pallas, num_devices, knn_every, knn_window,
+              head_factorized, remat, block_scan, head_stream):
     from dgcnn_tpu.config import Config
     from dgcnn_tpu.io import BucketBatcher, SyntheticIO
     from dgcnn_tpu.ops.loss import mean_iou

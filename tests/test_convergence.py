@@ -43,3 +43,35 @@ def test_pinned_convergence():
     assert out["final_loss"] <= 0.62, out   # recorded 0.492
     assert out["val_acc"] >= 0.575, out     # recorded 0.624
     assert out["val_miou"] >= 0.40, out     # recorded 0.448
+
+
+def test_pinned_convergence_block_scan_chunked_scatter():
+    """VERDICT r4 #4: block_scan's train side is the f32 reassociation
+    class (BN batch stats fuse differently in the scan body) — give it
+    the same quality floor as the plain pin, with the N-chunked
+    fused-backward scatter forced engaged (SCATTER_CHUNK_ROWS=128 →
+    4 chunks at N=512) so the full 2M-train feature stack trains to the
+    pinned quality, not just to 30-step loss-drop. Same floors as
+    test_pinned_convergence; the scan covers blocks 1-2 of the 3x24
+    stack (block 0 differs structurally: in_dim != 24). Flagship-scale
+    TPU numbers: BASELINE.md block_scan convergence row."""
+    from convergence import run
+
+    out = run(
+        steps=240,
+        n_point=512,
+        edge_filters=(24, 24, 24),
+        head=(64, (32,)),
+        minibatch=4,
+        num_events=64,
+        kvalue=8,
+        seed=7,
+        use_pallas=False,
+        num_devices=1,
+        block_scan="on",
+        scatter_chunk=128,
+    )
+    assert np.isfinite(out["final_loss"])
+    assert out["final_loss"] <= 0.62, out
+    assert out["val_acc"] >= 0.575, out
+    assert out["val_miou"] >= 0.40, out
