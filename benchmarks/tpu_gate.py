@@ -29,10 +29,15 @@ Legs:
            vs the dense head, eval mode (expect bitwise 0 diff on TPU;
            the CPU smoke gates on <=1e-5 — CPU dots block K differently
            inside scans)
-  scanchunk  train step with block_scan=on AND the N-chunked fused-
-           backward scatter forced ENGAGED (threshold lowered for the
-           leg) vs the unrolled/unchunked form: gradient agreement to
-           the f32 reassociation class (<= 1e-3 max rel diff)
+  scanchunk  the >=2M-row train levers, three comparisons: (a)
+           scanned+N-chunked scatter vs scanned unchunked, train mode
+           — BITWISE (the chunk is a row partition, no cross-chunk
+           reassociation); (b) unrolled/unchunked vs scanned+chunked
+           in EVAL mode (identical graphs + pool winners; pure
+           backward reassociation, <= 1e-2); (c) the train-mode
+           dynamic-graph composition REPORTED only — BN-stat noise
+           flips near-tie kNN/pool selections discretely (0.296
+           max-rel on TPU is legitimate; contract = convergence pin)
   conv     30-step convergence smoke on the flagship model (loss must
            drop by >30%)
 
@@ -509,17 +514,38 @@ def leg_block_scan():
 
 
 def leg_scan_chunk_grad():
-    """Train-path gate for the >=2M-row levers TOGETHER (VERDICT r4 #2):
-    block_scan=on AND the N-chunked fused-backward scatter ENGAGED
-    (ops.edge.SCATTER_CHUNK_ROWS forced down to rows/4 for the leg —
-    production engagement is 1.5M rows, unreachable in a minutes-long
-    gate) vs the unrolled, unchunked form at the same shapes. Both arms
-    run the frontier composition (banded window + remat + fused blocks);
-    gradients must agree to the f32 reassociation class — the scan
-    reassociates BN batch stats, the chunked scatter reassociates
-    per-destination adds across chunk boundaries; a REAL break (wrong
-    slot mask, chunk offset bug) lands orders of magnitude above the
-    gate line."""
+    """Train-path gate for the >=2M-row levers (VERDICT r4 #2), split
+    into the comparisons that are actually well-posed (round-5 finding):
+
+    (a) CHUNK lever — scanned + N-chunked fused-backward scatter
+        (ops.edge.SCATTER_CHUNK_ROWS forced to rows/4; production
+        engagement is 1.5M rows, unreachable in a minutes-long gate)
+        vs the same scanned form unchunked: gated BITWISE. The chunk is
+        a row partition of the scatter destination — every row's adds
+        happen inside exactly one chunk, so there is NO cross-chunk
+        reassociation (measured exactly 0.0 on CPU and TPU; the
+        300-step TPU convergence pin is bitwise-identical too).
+    (b) SCAN+CHUNK lever in EVAL mode — unrolled/unchunked vs
+        scanned+chunked grads of an eval-mode loss. The eval forward is
+        BITWISE between the arms (the blockscan leg pins it), so both
+        arms see identical kNN graphs and identical pool winners; the
+        residual difference is pure backward reduction reassociation
+        between the scanned and unrolled program shapes (measured
+        9.7e-4 max-rel on TPU). A real scan/chunk break (wrong run
+        grouping, carry misalignment, stacked-param grad transpose,
+        chunk offset) lands at O(1); gated at 1e-2.
+    (c) The full TRAIN-mode dynamic-graph composition is REPORTED, not
+        gated on a numeric line: train-mode BN batch-stat reassociation
+        perturbs features at the ulp level and near-tie kNN selections
+        AND max-pool winners flip DISCRETELY, so the two arms
+        legitimately train on slightly different graphs (measured 0.296
+        max-rel on TPU at knn_every=1, and still 1.1e-2 with the graph
+        pinned via knn_every>depth — winner flips remain; CPU: 6.7e-4 /
+        3.3e-4). Same mechanism class as the documented kernel
+        near-ties. Its accuracy contract is the 300-step convergence
+        pin (in-band, BASELINE.md), not per-step gradient equality —
+        the original single-number form of this leg gated (c) at 1e-3
+        and could never pass on hardware."""
     import dataclasses
 
     import dgcnn_tpu.ops.edge as edge_mod
@@ -531,41 +557,59 @@ def leg_scan_chunk_grad():
         head_mlp=(512, 256), global_pool=True, remat=True,
         knn_window=max(n // 4, 128),
     )
-    model_u = get_model(
-        "residual-dgcnn", dataclasses.replace(spec, block_scan="off")
-    )
-    model_s = get_model(
-        "residual-dgcnn", dataclasses.replace(spec, block_scan="on")
-    )
-    params, state = model_u.init(jax.random.PRNGKey(17), 4)
     rng = np.random.default_rng(19)
     pts = jnp.asarray(rng.normal(size=(b, n, 4)).astype(np.float32))
     mask = jnp.asarray(rng.random((b, n)) > 0.1)
 
-    def loss_fn(p, model):
-        logits, _ = model.apply(p, state, pts, mask, train=True)
-        return jnp.mean(jnp.square(logits))
+    def grads(block_scan, chunk_rows=None, train=True):
+        sp = dataclasses.replace(spec, block_scan=block_scan)
+        model = get_model("residual-dgcnn", sp)
+        # same seed -> identical params/state across arms (block_scan
+        # does not change the param tree)
+        params, state = model.init(jax.random.PRNGKey(17), 4)
 
-    g_u = jax.jit(jax.grad(lambda p: loss_fn(p, model_u)))(params)
+        def loss_fn(p):
+            logits, _ = model.apply(p, state, pts, mask, train=train)
+            return jnp.mean(jnp.square(logits))
+
+        orig = edge_mod.SCATTER_CHUNK_ROWS
+        if chunk_rows is not None:
+            edge_mod.SCATTER_CHUNK_ROWS = chunk_rows
+        try:
+            g = jax.jit(jax.grad(loss_fn))(params)
+            g = jax.tree_util.tree_map(np.asarray, g)
+        finally:
+            edge_mod.SCATTER_CHUNK_ROWS = orig
+        return g
+
+    def max_rel(ga, gb):
+        # one global scale: per-leaf ratios explode on near-zero leaves
+        # (e.g. a proj bias grad at 1e-9 under reassociation noise),
+        # while any real break corrupts the O(0.1) weight grads
+        err = scale = 0.0
+        for a, b_ in zip(
+            jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)
+        ):
+            a, b_ = np.asarray(a, np.float64), np.asarray(b_, np.float64)
+            err = max(err, float(np.abs(a - b_).max()))
+            scale = max(scale, float(np.abs(a).max()))
+        return err / (scale + 1e-12)
+
     orig = edge_mod.SCATTER_CHUNK_ROWS
     edge_mod.SCATTER_CHUNK_ROWS = (b * n) // 4  # -> n_chunks == 4
     try:
         n_chunks = edge_mod._resolve_scatter_chunks(b, n)
-        g_s = jax.jit(jax.grad(lambda p: loss_fn(p, model_s)))(params)
     finally:
         edge_mod.SCATTER_CHUNK_ROWS = orig
-    # one global scale: per-leaf ratios explode on near-zero leaves
-    # (e.g. a proj bias grad at 1e-9 under 1e-6 reassociation noise),
-    # while any real break corrupts the O(0.1) block/head weight grads
-    err = scale = 0.0
-    for a, b_ in zip(
-        jax.tree_util.tree_leaves(g_u), jax.tree_util.tree_leaves(g_s)
-    ):
-        a, b_ = np.asarray(a, np.float64), np.asarray(b_, np.float64)
-        err = max(err, float(np.abs(a - b_).max()))
-        scale = max(scale, float(np.abs(a).max()))
+    g_s = grads("on")
+    g_sc = grads("on", chunk_rows=(b * n) // 4)
+    g_u = grads("off")
+    g_u_ev = grads("off", train=False)
+    g_sc_ev = grads("on", chunk_rows=(b * n) // 4, train=False)
     return {
-        "scanchunk_grad_max_rel_diff": err / (scale + 1e-12),
+        "scanchunk_chunk_max_rel_diff": max_rel(g_s, g_sc),  # (a) bitwise
+        "scanchunk_eval_max_rel_diff": max_rel(g_u_ev, g_sc_ev),  # (b)
+        "scanchunk_dynamicgraph_max_rel_diff": max_rel(g_u, g_sc),  # (c)
         "scanchunk_chunks": n_chunks,
     }
 
@@ -654,9 +698,12 @@ def main():
             if out["backend"] != "cpu"
             else out["blockscan_max_abs_diff"] <= 1e-5
         )
-        # reassociation-class noise measures ~1e-5 rel; a real chunk/
-        # scan break (wrong slot mask, chunk offset) is O(1)
-        and out["scanchunk_grad_max_rel_diff"] <= 1e-3
+        # (a) the chunk is a row partition of the scatter destination —
+        # no cross-chunk reassociation exists; bitwise (0.0 CPU + TPU)
+        and out["scanchunk_chunk_max_rel_diff"] == 0.0
+        # (b) eval-mode composition: identical graphs/winners, pure
+        # backward reassociation measured 9.7e-4 TPU; a break is O(1)
+        and out["scanchunk_eval_max_rel_diff"] <= 1e-2
         and out["scanchunk_chunks"] >= 2
         and out["conv_loss_end"] < 0.7 * out["conv_loss_start"]
     )
